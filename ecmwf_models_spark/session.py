@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode test harness; the same config block is what we'd pass to
+spark-submit on a real cluster (AQE on, skew-join on, Arrow on). The
+reference's single-machine parallelism knob (n_proc + loky backend,
+reference era5/reshuffle.py:245-246) maps to executor cores here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+# Arrow batch size ~ the reference's imgbuffer pipelining knob
+# (reference cli.py:378-385): bound memory per task batch.
+ARROW_BATCH = 10_000
+
+
+def get_spark(
+    app_name: str = "spark-ts-engine",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(
+        DEFAULT_SHUFFLE_PARTITIONS, cores
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH)
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
