@@ -1,0 +1,124 @@
+"""Gap-fill + rollup tiers vs an independent pandas oracle.
+
+Models the reference goldens: exact point values at fixed keys
+(test_era5_reshuffle.py:135-140, rtol=1e-5 on float32) and the exactness
+of re-aggregation (monthly-from-daily == monthly-from-raw)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ecmwf_models_spark.operators.dedup import latest_final_wins
+from ecmwf_models_spark.operators.gapfill import gap_fill
+from ecmwf_models_spark.operators.reshuffle import derive_metrics, reshuffle
+from ecmwf_models_spark.operators.rollup import (
+    finalize,
+    rollup_cascade,
+    rollup_from_raw,
+    rollup_tiers,
+)
+
+
+@pytest.fixture(scope="module")
+def silver(bronze):
+    df = reshuffle(bronze, n_cells=16, num_partitions=8)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_pdf(bronze):
+    pdf = latest_final_wins(bronze).toPandas()
+    pdf["text_len"] = pdf["text"].str.len().astype("float32")
+    pdf["tool_call"] = pdf["tool"].notna().astype("float32")
+    return pdf
+
+
+def test_gapfill_dense_grid(spark, silver, oracle_pdf):
+    filled = gap_fill(silver).toPandas()
+    # dense: every conv has a contiguous 6-hourly grid between its ends
+    for conv, g in filled.groupby("conv_id"):
+        ts = g["ts_bucket"].sort_values()
+        steps = ts.diff().dropna().unique()
+        assert len(steps) == 1 and steps[0] == pd.Timedelta(hours=6), conv
+    # bucket sums match a pandas oracle for a fixed conv
+    conv = "conv-000003"
+    o = oracle_pdf[oracle_pdf.conv_id == conv].copy()
+    o["ts_bucket"] = o["ts"].dt.floor("6h")
+    osum = o.groupby("ts_bucket")["text_len"].sum()
+    got = (
+        filled[filled.conv_id == conv]
+        .dropna(subset=["text_len"])
+        .set_index("ts_bucket")["text_len"]
+        .sort_index()
+    )
+    np.testing.assert_allclose(got.values, osum.sort_index().values, rtol=1e-5)
+    # gaps are NULL metrics with n_turns == 0
+    gaps = filled[filled.n_turns == 0]
+    assert gaps["text_len"].isna().all()
+
+
+def test_hourly_rollup_exact_points(silver, oracle_pdf):
+    hourly = finalize(rollup_from_raw(silver, "hourly")).toPandas()
+    o = oracle_pdf.copy()
+    o["bucket_ts"] = o["ts"].dt.floor("h")
+    conv = "conv-000001"
+    for bucket, g in o[o.conv_id == conv].groupby("bucket_ts"):
+        row = hourly[(hourly.conv_id == conv) & (hourly.bucket_ts == bucket)]
+        assert len(row) == 1
+        np.testing.assert_allclose(
+            row["text_len_avg"].iloc[0], g["text_len"].mean(), rtol=1e-5
+        )
+        assert row["n_turns"].iloc[0] == len(g)
+        assert row["text_len_min"].iloc[0] == g["text_len"].min()
+        assert row["text_len_max"].iloc[0] == g["text_len"].max()
+        g_sorted = g.sort_values("ts")
+        np.testing.assert_allclose(
+            row["text_len_first"].iloc[0], g_sorted["text_len"].iloc[0], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            row["text_len_last"].iloc[0], g_sorted["text_len"].iloc[-1], rtol=1e-5
+        )
+
+
+def test_cascade_equals_direct(silver):
+    """monthly-from-daily-from-hourly == monthly-from-raw, exactly."""
+    tiers = rollup_tiers(silver)
+    monthly_cascaded = finalize(tiers["monthly"]).toPandas()
+    monthly_direct = finalize(rollup_from_raw(silver, "monthly")).toPandas()
+
+    key = ["conv_id", "bucket_ts"]
+    a = monthly_cascaded.sort_values(key).reset_index(drop=True)
+    b = monthly_direct.sort_values(key).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            np.testing.assert_allclose(a[c].values, b[c].values, rtol=1e-6)
+        else:
+            assert (a[c].values == b[c].values).all(), c
+
+
+def test_daily_from_hourly_equals_daily_from_raw(silver):
+    hourly = rollup_from_raw(silver, "hourly")
+    via = finalize(rollup_cascade(hourly, "daily")).toPandas()
+    direct = finalize(rollup_from_raw(silver, "daily")).toPandas()
+    key = ["conv_id", "bucket_ts"]
+    a = via.sort_values(key).reset_index(drop=True)
+    b = direct.sort_values(key).reset_index(drop=True)
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            np.testing.assert_allclose(a[c].values, b[c].values, rtol=1e-6)
+        else:
+            assert (a[c].values == b[c].values).all(), c
+
+
+def test_float32_edge_contract(silver):
+    out = finalize(rollup_from_raw(silver, "daily"))
+    dt = dict(out.dtypes)
+    for c in ("text_len_avg", "text_len_min", "text_len_max",
+              "text_len_first", "text_len_last"):
+        assert dt[c] == "float", c
+    # carried state stays wide (exactness): sums are double, counts long
+    assert dt["text_len_sum"] == "double"
+    assert dt["text_len_cnt"] == "bigint"
