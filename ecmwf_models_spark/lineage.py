@@ -1,0 +1,168 @@
+"""Lineage / checkpoint table + resumable tier writer.
+
+The reference records provenance and the exact kwargs of each run in
+overview.yml (update_image_summary_file, reference utils.py:365-409;
+ts-side call era5/reshuffle.py:251), which is what makes extend/update
+idempotent (reshuffle.py:280-295). Here that generalizes to a per-partition
+lineage table:
+
+    (job_id, tier, cell_id, snapshot_id, row_count, checksum,
+     status, committed_at)
+
+and a writer protocol that makes retention-tier materialization resumable
+MID-TIER: every cell directory is written atomically (task temp + rename is
+Spark's own commit protocol at partition-dir grain via dynamic partition
+overwrite), then the cell's lineage row is appended. On rerun, committed
+cells are skipped via an anti-join on the lineage table — exactly-once at
+cell grain without a transactional table format (SURVEY 7 plan B).
+
+Checksums are order-insensitive (sum of xxhash64 over rows) so they are
+stable under any task placement/parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("job_id", T.StringType()),
+        T.StructField("tier", T.StringType()),
+        T.StructField("cell_id", T.IntegerType()),
+        T.StructField("snapshot_id", T.StringType()),
+        T.StructField("row_count", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("committed_at", T.DoubleType()),
+    ]
+)
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    if not os.path.exists(path):
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
+
+
+def committed_cells(spark: SparkSession, path: str, tier: str) -> DataFrame:
+    return (
+        read_lineage(spark, path)
+        .where((F.col("tier") == tier) & (F.col("status") == "committed"))
+        .select("cell_id")
+        .distinct()
+    )
+
+
+def cell_stats(df: DataFrame) -> DataFrame:
+    """Per-cell (row_count, order-insensitive checksum) over all columns.
+    bit_xor of row hashes: commutative (placement-independent) and can't
+    overflow under ANSI mode. Columns are hashed in sorted-name order so
+    the checksum is invariant to plan-dependent column reordering (joins
+    move the join key to the front)."""
+    cols = sorted(df.columns)
+    return df.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in cols])).alias("checksum"),
+    )
+
+
+class ResumableTierWriter:
+    """Write a cell-partitioned tier with per-cell lineage + resume.
+
+    Usage:
+        w = ResumableTierWriter(spark, out_dir, lineage_dir, tier="daily")
+        w.run(df_with_cell_id)          # writes only uncommitted cells
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        lineage_dir: str,
+        tier: str,
+        snapshot_id: str = "",
+        job_id: str | None = None,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.lineage_dir = lineage_dir
+        self.tier = tier
+        self.snapshot_id = snapshot_id
+        self.job_id = job_id or uuid.uuid4().hex[:12]
+
+    def pending(self, df: DataFrame) -> DataFrame:
+        done = committed_cells(self.spark, self.lineage_dir, self.tier)
+        return df.join(F.broadcast(done), "cell_id", "left_anti")
+
+    def run(self, df: DataFrame, fail_after_cells: int | None = None) -> int:
+        """Materialize uncommitted cells; returns number of cells written.
+
+        fail_after_cells simulates a mid-tier crash for the resume test: it
+        restricts this run to the first k pending cells (written AND
+        committed), then raises — the next run() must complete the rest and
+        produce a byte-identical tier.
+        """
+        pend = self.pending(df)
+        cells = [r[0] for r in pend.select("cell_id").distinct().collect()]
+        cells.sort()
+        if not cells:
+            return 0
+        crash = fail_after_cells is not None and fail_after_cells < len(cells)
+        todo = cells[:fail_after_cells] if crash else cells
+
+        batch = pend.where(F.col("cell_id").isin(todo))
+        # dynamic partition overwrite: each cell dir replaced atomically,
+        # untouched cells preserved — write-temp-then-rename at cell grain.
+        (
+            batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell_id")
+            .parquet(self.out_dir)
+        )
+        stats = cell_stats(batch).collect()
+        now = time.time()
+        rows = [
+            (
+                self.job_id,
+                self.tier,
+                int(r["cell_id"]),
+                self.snapshot_id,
+                int(r["row_count"]),
+                int(r["checksum"]),
+                "committed",
+                now,
+            )
+            for r in stats
+        ]
+        self.spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.lineage_dir)
+        if crash:
+            raise RuntimeError(
+                f"simulated crash after {len(todo)} of {len(cells)} cells"
+            )
+        return len(todo)
+
+    def verify(self, df: DataFrame) -> bool:
+        """Recompute per-cell stats from the written tier and compare to the
+        lineage table (write-audit)."""
+        written = self.spark.read.parquet(self.out_dir)
+        # align column order with what run() hashed
+        written = written.select(*df.columns)
+        actual = cell_stats(written)
+        expected = read_lineage(self.spark, self.lineage_dir).where(
+            (F.col("tier") == self.tier) & (F.col("status") == "committed")
+        )
+        bad = (
+            actual.join(expected, "cell_id")
+            .where(
+                (actual["row_count"] != expected["row_count"])
+                | (actual["checksum"] != expected["checksum"])
+            )
+            .count()
+        )
+        return bad == 0
