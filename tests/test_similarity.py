@@ -1,0 +1,89 @@
+"""Embedding similarity: brute-force vs LSH-approximate, near-dup pairs,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ecmwf_models_spark.functions import multimodal as M, similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+
+
+def test_bruteforce_topk_matches_numpy(emb, query_vec):
+    got = S.topk_cosine(emb, query_vec, k=10).toPandas()
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].map(np.asarray))
+    q = np.asarray(query_vec)
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        zip(np.round(cos, 6), -pdf["vec_id"].values),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expected_ids = [int(-i) for _, i in order[:10]]
+    assert list(got["vec_id"]) == expected_ids
+    assert got["cos_sim"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+    assert got["vec_id"].iloc[0] == 0
+
+
+def test_ann_lsh_recall(emb, query_vec):
+    exact = set(S.topk_cosine(emb, query_vec, k=10).toPandas()["vec_id"])
+    approx = S.ann_topk_lsh(
+        emb, query_vec, k=10, n_planes=6, multiprobe_hamming=2
+    ).toPandas()
+    got = set(approx["vec_id"])
+    recall = len(exact & got) / 10
+    assert recall >= 0.5, f"recall {recall}"
+    assert 0 in got  # the query itself always survives multiprobe
+
+
+def test_lsh_bucket_deterministic(emb):
+    b1 = S.with_lsh_bucket(emb, 64).select("vec_id", "lsh_bucket").toPandas()
+    b2 = S.with_lsh_bucket(emb, 64).select("vec_id", "lsh_bucket").toPandas()
+    assert b1.sort_values("vec_id").equals(b2.sort_values("vec_id"))
+    assert b1["lsh_bucket"].nunique() > 1
+
+
+def test_cosine_near_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = S.cosine_near_dup_pairs(df, threshold=0.99, dim=4).collect()
+    assert any((r["id_a"], r["id_b"]) == (1, 2) for r in pairs)
+    assert all({r["id_a"], r["id_b"]} != {1, 3} for r in pairs)
+
+
+def test_multimodal_image_features(spark):
+    media = M.gen_media(spark, n=30, width=16, height=12)
+    feats = M.image_features(media, resize_to=(4, 4)).toPandas()
+    n_images = media.where("kind='image'").count()
+    assert len(feats) == n_images
+    assert all(len(f) == 16 for f in feats["feat"])
+    assert (feats["mean_lum"] > 0).all()
+    # deterministic stub: same payload -> same features
+    again = M.image_features(media, resize_to=(4, 4)).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = again.sort_values("media_id").reset_index(drop=True)
+    assert (a["mean_lum"].values == b["mean_lum"].values).all()
+
+
+def test_frame_sample_and_audio(spark):
+    media = M.gen_media(spark, n=30)
+    frames = M.frame_sample(media, every_k=2)
+    pdf = frames.toPandas()
+    assert (pdf["frame_idx"] % 2 == 0).all()
+    aud = M.audio_window_plumbing(media, win_ms=25).toPandas()
+    assert (aud["samples_per_window"] == 400).all()  # 16 kHz * 25 ms
