@@ -1,0 +1,786 @@
+"""Driver-contract queries: every implemented operator family from
+SURVEY.md section 2 exercised over the driver testdata tables
+(events / documents / embeddings / lineitem / orders / customer / nation),
+each paired with an ANSI-SQL DuckDB oracle in ORACLES.
+
+Conventions for oracle parity:
+  * every computed column aliased identically in Spark and SQL;
+  * float aggregates rounded to 6 decimals on both sides;
+  * timestamps emitted as 'yyyy-MM-dd HH:mm:ss' strings (no tz ambiguity);
+  * counts cast to bigint on both sides (DuckDB sum(int) is hugeint).
+
+The events table stands in for the transcript bronze table
+(user_id = conv_id, value = metric) — FIXTURES.md F6 mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import similarity as SIM
+from ..functions import text as TXT
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fmt(c):
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+def R6(c):
+    return F.round(c, 6)
+
+
+# --------------------------------------------------------------- rollups
+
+def _hourly_state():
+    # built lazily: Column construction needs an active SparkSession
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("_sum"),
+        F.count("value").alias("_cnt"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.min_by("value", "ts").alias("value_first"),
+        F.max_by("value", "ts").alias("value_last"),
+    ]
+
+
+def _finalize_state(df):
+    return df.select(
+        "user_id",
+        _fmt("bucket").alias("bucket_ts"),
+        "n_events",
+        R6("_sum").alias("value_sum"),
+        R6(F.col("_sum") / F.col("_cnt")).alias("value_avg"),
+        "value_min",
+        "value_max",
+        "value_first",
+        "value_last",
+    )
+
+
+def q_rollup_hourly(spark, sf_dir):
+    """A1/rollup tier-0: per-user hourly continuous aggregate
+    (operators/rollup.py rollup_from_raw)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(*_hourly_state())
+    return _finalize_state(g)
+
+
+def _hourly_state_df(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        *_hourly_state(),
+        F.min("ts").alias("_first_ts"),
+        F.max("ts").alias("_last_ts"),
+    )
+
+
+def _cascade(lower, trunc):
+    """Exact tier-k -> tier-k+1 re-aggregation (operators/rollup.py
+    rollup_cascade): sums/counts add, min/max nest, first/last pick by the
+    carried boundary timestamps."""
+    return lower.groupBy(
+        "user_id", F.date_trunc(trunc, "bucket").alias("bucket")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("_sum").alias("_sum"),
+        F.sum("_cnt").alias("_cnt"),
+        F.min("value_min").alias("value_min"),
+        F.max("value_max").alias("value_max"),
+        F.min_by("value_first", "_first_ts").alias("value_first"),
+        F.max_by("value_last", "_last_ts").alias("value_last"),
+        F.min("_first_ts").alias("_first_ts"),
+        F.max("_last_ts").alias("_last_ts"),
+    )
+
+
+def q_rollup_daily_from_hourly(spark, sf_dir):
+    return _finalize_state(_cascade(_hourly_state_df(spark, sf_dir), "day"))
+
+
+def q_rollup_monthly_from_daily(spark, sf_dir):
+    daily = _cascade(_hourly_state_df(spark, sf_dir), "day")
+    return _finalize_state(_cascade(daily, "month"))
+
+
+def _oracle_rollup(trunc: str) -> str:
+    return f"""
+    SELECT user_id,
+           strftime(date_trunc('{trunc}', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           count(*) AS n_events,
+           round(sum(value), 6) AS value_sum,
+           round(sum(value) / count(value), 6) AS value_avg,
+           min(value) AS value_min,
+           max(value) AS value_max,
+           arg_min(value, ts) AS value_first,
+           arg_max(value, ts) AS value_last
+    FROM events GROUP BY 1, 2
+    """
+
+
+def q_bucket_6h(spark, sf_dir):
+    """A2: assignment to the regular 6-hourly grid
+    (operators/bucket.py bucket_col) — global per-bucket counts."""
+    ev = _t(spark, sf_dir, "events")
+    b = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / 21600).cast("long") * 21600
+    )
+    return (
+        ev.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"), R6(F.sum("value")).alias("value_sum"))
+        .select(_fmt("bucket").alias("bucket_ts"), "n_events", "value_sum")
+    )
+
+
+ORACLE_BUCKET_6H = """
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)*1000000),
+                '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       count(*) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1
+"""
+
+
+# ----------------------------------------------------------- dedup / sel
+
+def q_dedup_latest_wins(spark, sf_dir):
+    """S4/P7/I4: latest-writer-wins dedup per (user_id, event_type, day)
+    (operators/dedup.py latest_final_wins)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("day", "ts")
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "user_id",
+            "event_type",
+            _fmt(F.date_trunc("day", "ts")).alias("day_ts"),
+            "event_id",
+            "value",
+        )
+    )
+
+
+ORACLE_DEDUP = """
+SELECT user_id, event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_ts,
+       event_id, value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type, date_trunc('day', ts)
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_h_steps_selection(spark, sf_dir):
+    """A2 selection grid: keep only hours (0,6,12,18)
+    (operators/bucket.py filter_h_steps semantics at hour grain)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.hour("ts").isin(0, 6, 12, 18))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            R6(F.sum("value")).alias("value_sum"),
+        )
+    )
+
+
+ORACLE_H_STEPS = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS value_sum
+FROM events WHERE hour(ts) IN (0, 6, 12, 18) GROUP BY 1
+"""
+
+
+def q_gapfill_missing_buckets(spark, sf_dir):
+    """J3 gap-fill: generated hourly timeline per user LEFT JOIN observed
+    buckets; count the holes (operators/gapfill.py gap_fill)."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = per_bucket.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    filled = grid.join(per_bucket, ["user_id", "bucket"], "left")
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.count("n").alias("n_present"),
+        (F.count(F.lit(1)) - F.count("n")).alias("n_missing"),
+    )
+
+
+ORACLE_GAPFILL = """
+WITH per_bucket AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi,
+         count(*) AS n_present
+  FROM per_bucket GROUP BY 1
+)
+SELECT user_id,
+       CAST(date_diff('hour', lo, hi) + 1 AS BIGINT) AS n_buckets,
+       n_present,
+       CAST(date_diff('hour', lo, hi) + 1 - n_present AS BIGINT) AS n_missing
+FROM spans
+"""
+
+
+def q_point_read(spark, sf_dir):
+    """S10 point query: one conversation's (= user's) full series,
+    pruned by key (operators/pointread.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("user_id") == 42).select(
+        "event_id", _fmt("ts").alias("ts_s"), "event_type", "value"
+    )
+
+
+ORACLE_POINT_READ = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type, value
+FROM events WHERE user_id = 42
+"""
+
+
+def q_semijoin_active(spark, sf_dir):
+    """P4/J2 subgrid gather: per-user event counts for users with at least
+    one signup (broadcast left-semi join, operators/masking.py
+    subgrid_gather)."""
+    ev = _t(spark, sf_dir, "events")
+    active = ev.where(F.col("event_type") == "signup").select("user_id")
+    return (
+        ev.join(F.broadcast(active.distinct()), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE_SEMIJOIN = """
+SELECT user_id, count(*) AS n_events
+FROM events
+WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'signup')
+GROUP BY 1
+"""
+
+
+def q_antijoin_orphans(spark, sf_dir):
+    """North-star anti-join diff shape: customers with no orders
+    (left_anti), per market segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_ANTIJOIN = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY 1
+"""
+
+
+def q_minmax_bounds(spark, sf_dir):
+    """A6/A7: first/last date + row counts per event_type (the
+    get_first_last_image_date analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _fmt(F.min("ts")).alias("first_ts"),
+        _fmt(F.max("ts")).alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_MINMAX = """
+SELECT event_type,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_version_coalesce(spark, sf_dir):
+    """P8 expver coalesce: per (user, day) prefer the purchase-metric,
+    fall back to the view-metric (operators/masking.py
+    coalesce_versions)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        R6(F.avg(F.when(F.col("event_type") == "purchase", F.col("value")))).alias(
+            "purchase_avg"
+        ),
+        R6(F.avg(F.when(F.col("event_type") == "view", F.col("value")))).alias(
+            "view_avg"
+        ),
+    )
+    return g.select(
+        "user_id",
+        _fmt("day").alias("day_ts"),
+        F.coalesce("purchase_avg", "view_avg").alias("metric"),
+    )
+
+
+ORACLE_COALESCE = """
+SELECT user_id,
+       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_ts,
+       coalesce(round(avg(value) FILTER (WHERE event_type = 'purchase'), 6),
+                round(avg(value) FILTER (WHERE event_type = 'view'), 6))
+           AS metric
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_cell_assignment(spark, sf_dir):
+    """Grid cell routing (grid.py cell_of) in a hash portable to the
+    oracle: cell = md5-derived bigint mod 64. Counts per cell prove the
+    partitioning is uniform and deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    cell = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(64),
+    ).cast("int")
+    return (
+        ev.select(cell.alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+ORACLE_CELL = """
+SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64
+            AS INTEGER) AS cell_id,
+       count(*) AS n_rows
+FROM events GROUP BY 1
+"""
+
+
+def q_sortedness_check(spark, sf_dir):
+    """O1 ordering invariant check (functions/scalar.py is_sorted_within):
+    is event_id monotone when ordered by ts, per user?"""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("_prev", F.lag("event_id").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.bool_and(
+                F.col("_prev").isNull() | (F.col("event_id") >= F.col("_prev"))
+            ).alias("sorted")
+        )
+    )
+
+
+ORACLE_SORTED = """
+SELECT user_id,
+       bool_and(prev IS NULL OR event_id >= prev) AS sorted
+FROM (
+  SELECT user_id, event_id,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+) GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- TPC-ish
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            R6(F.sum("l_quantity")).alias("sum_qty"),
+            R6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            R6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            R6(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            R6(F.avg("l_quantity")).alias("avg_qty"),
+            R6(F.avg("l_extendedprice")).alias("avg_price"),
+            R6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """J1-shaped dimension equi-joins, both broadcast (customer and nation
+    are small dims)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            R6(F.sum("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_REVENUE = """
+SELECT n_name, round(sum(o_totalprice), 6) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- text ops
+
+def q_exact_dedup_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(TXT.token_count("text")).cast("long").alias("total_tokens"),
+        F.sum(TXT.token_count("text", bpe=True)).cast("long").alias(
+            "total_bpe_tokens"
+        ),
+        R6(F.avg(TXT.token_count("text"))).alias("avg_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = r"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+           AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
+           AS total_bpe_tokens,
+       round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 6)
+           AS avg_tokens
+FROM documents GROUP BY 1
+"""
+
+
+def q_quality_per_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    feats = TXT.quality_features(docs)
+    return feats.groupBy("source").agg(
+        R6(F.avg("quality_score")).alias("avg_quality"),
+        R6(F.avg("stopword_ratio")).alias("avg_stopword_ratio"),
+        R6(F.avg("punct_ratio")).alias("avg_punct_ratio"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+ORACLE_QUALITY = r"""
+WITH f AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+         greatest(length(text), 1)::DOUBLE AS safe_chars,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS n_stop
+  FROM documents
+), g AS (
+  SELECT source,
+         round(n_punct / safe_chars, 6) AS punct_ratio,
+         round(n_digit / safe_chars, 6) AS digit_ratio,
+         round(n_stop / greatest(n_tok, 1)::DOUBLE, 6) AS stopword_ratio,
+         n_tok
+  FROM f
+)
+SELECT source,
+       round(avg(round(
+           least(n_tok / 50.0, 1.0) * 0.4
+           + stopword_ratio * 0.3
+           + (1 - least(punct_ratio * 5, 1.0)) * 0.2
+           + (1 - least(digit_ratio * 5, 1.0)) * 0.1, 6)), 6) AS avg_quality,
+       round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
+       round(avg(punct_ratio), 6) AS avg_punct_ratio,
+       count(*) AS n_docs
+FROM g GROUP BY 1
+"""
+
+
+def q_lang_id_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.lang_id(docs).groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+ORACLE_LANG_ID = r"""
+WITH s AS (
+  SELECT len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das)\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\b(le|la|et|est|les)\b')) AS s_fr,
+         len(regexp_extract_all(lower(text), '\b(el|la|y|es|los)\b')) AS s_es,
+         len(regexp_extract_all(lower(text), '\b(de|shi|le|zai|he)\b')) AS s_zh
+  FROM documents
+)
+SELECT CASE
+         WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+         WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+         WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+         WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+         WHEN s_es >= s_zh THEN 'es'
+         ELSE 'zh'
+       END AS pred_lang,
+       count(*) AS n_docs
+FROM s GROUP BY 1
+"""
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    """Winnowing-style fingerprint, md5-portable (functions/text.py
+    fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = TXT.shingles(TXT.tokens("text"), 3)
+    h = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    return docs.select("doc_id", F.array_min(h).alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ')
+                    for i in generate_series(1, len(toks) - 2)]
+              ELSE [array_to_string(toks, ' ')]
+         END AS shingles
+  FROM t
+)
+SELECT doc_id,
+       list_min([('0x' || substr(md5(sh), 1, 15))::BIGINT for sh in shingles])
+           AS fingerprint
+FROM s
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Set-similarity join via shingle inverted index + exact verify
+    (functions/text.py ngram_jaccard_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ')
+                    for i in generate_series(1, len(toks) - 2)]
+              ELSE [array_to_string(toks, ' ')]
+         END) AS sh
+  FROM t
+), inv AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM inv a JOIN inv b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, jaccard FROM (
+  SELECT c.doc_id_a, c.doc_id_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+               6) AS jaccard
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.doc_id_a
+  JOIN s sb ON sb.doc_id = c.doc_id_b
+) WHERE jaccard >= 0.5
+"""
+
+
+# ------------------------------------------------------------ embeddings
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k (functions/similarity.py topk_cosine),
+    query = vec_id 0's embedding."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    return SIM.topk_cosine(emb, qvec, k=10)
+
+
+ORACLE_ANN_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    """Vector math via higher-order functions: per-label avg L2 norm."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return emb.groupBy("label").agg(
+        R6(F.avg(SIM.norm(F.col("embedding")))).alias("avg_norm"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+ORACLE_EMB_NORMS = """
+SELECT label,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6)
+           AS avg_norm,
+       count(*) AS n_vecs
+FROM embeddings GROUP BY 1
+"""
+
+
+# -------------------------------------------- non-SQL-expressible (rows only)
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates + verified Jaccard (xxhash64-based
+    signatures — not reproducible in ANSI SQL; driver does rows-only
+    check, exact Jaccard itself is covered by q_ngram_jaccard_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.minhash_dedup_pairs(
+        docs, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+def q_simhash_docs(spark, sf_dir):
+    """SimHash 64-bit fingerprints (xxhash64-based)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.simhash64(docs)
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (bucket ids from deterministic
+    hyperplanes; approximate by construction, no SQL oracle)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    return SIM.ann_topk_lsh(emb, qvec, k=10, n_planes=6, multiprobe_hamming=2)
+
+
+QUERIES = {
+    "rollup_hourly": q_rollup_hourly,
+    "rollup_daily_from_hourly": q_rollup_daily_from_hourly,
+    "rollup_monthly_from_daily": q_rollup_monthly_from_daily,
+    "bucket_6h": q_bucket_6h,
+    "dedup_latest_wins": q_dedup_latest_wins,
+    "h_steps_selection": q_h_steps_selection,
+    "gapfill_missing_buckets": q_gapfill_missing_buckets,
+    "point_read": q_point_read,
+    "semijoin_active": q_semijoin_active,
+    "antijoin_orphans": q_antijoin_orphans,
+    "minmax_bounds": q_minmax_bounds,
+    "version_coalesce": q_version_coalesce,
+    "cell_assignment": q_cell_assignment,
+    "sortedness_check": q_sortedness_check,
+    "tpch_q1": q_tpch_q1,
+    "revenue_by_nation": q_revenue_by_nation,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "token_counts": q_token_counts,
+    "quality_per_source": q_quality_per_source,
+    "lang_id_counts": q_lang_id_counts,
+    "fingerprint_docs": q_fingerprint_docs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_topk": q_ann_topk,
+    "embedding_norms": q_embedding_norms,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_docs": q_simhash_docs,
+    "ann_topk_lsh": q_ann_topk_lsh,
+}
+
+ORACLES = {
+    "rollup_hourly": _oracle_rollup("hour"),
+    "rollup_daily_from_hourly": _oracle_rollup("day"),
+    "rollup_monthly_from_daily": _oracle_rollup("month"),
+    "bucket_6h": ORACLE_BUCKET_6H,
+    "dedup_latest_wins": ORACLE_DEDUP,
+    "h_steps_selection": ORACLE_H_STEPS,
+    "gapfill_missing_buckets": ORACLE_GAPFILL,
+    "point_read": ORACLE_POINT_READ,
+    "semijoin_active": ORACLE_SEMIJOIN,
+    "antijoin_orphans": ORACLE_ANTIJOIN,
+    "minmax_bounds": ORACLE_MINMAX,
+    "version_coalesce": ORACLE_COALESCE,
+    "cell_assignment": ORACLE_CELL,
+    "sortedness_check": ORACLE_SORTED,
+    "tpch_q1": ORACLE_TPCH_Q1,
+    "revenue_by_nation": ORACLE_REVENUE,
+    "exact_dedup_docs": ORACLE_EXACT_DEDUP,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "quality_per_source": ORACLE_QUALITY,
+    "lang_id_counts": ORACLE_LANG_ID,
+    "fingerprint_docs": ORACLE_FINGERPRINT,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "embedding_norms": ORACLE_EMB_NORMS,
+    # minhash_lsh_pairs / simhash_docs / ann_topk_lsh: rows-only by design
+}
