@@ -1,0 +1,155 @@
+"""CLI — the `era5` command-group shape (reference cli.py:476-497:
+download / update_img / reshuffle / update_ts) mapped to the engine:
+
+    python -m ecmwf_models_spark.cli ingest    --out DIR [--n-conv N ...]
+    python -m ecmwf_models_spark.cli reshuffle --bronze DIR --out DIR
+    python -m ecmwf_models_spark.cli rollup    --silver DIR --out DIR --tiers hourly,daily,monthly
+    python -m ecmwf_models_spark.cli extend    --silver DIR --bronze DIR
+    python -m ecmwf_models_spark.cli read      --silver DIR --conv-id ID
+    python -m ecmwf_models_spark.cli bench     [--sf-dir DIR --cpus N]
+
+On a real cluster each subcommand is the driver program for
+`spark-submit --py-files ecmwf_models_spark.zip`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("cli", cores=args.cpus)
+
+
+def cmd_ingest(args):
+    from .synth import gen_transcripts
+
+    spark = _spark(args)
+    df = gen_transcripts(
+        spark,
+        n_conv=args.n_conv,
+        days=args.days,
+        turns_per_conv=args.turns,
+    )
+    df.write.mode("overwrite").partitionBy().parquet(args.out)
+    print(f"wrote {df.count()} bronze rows to {args.out}")
+
+
+def cmd_reshuffle(args):
+    from .operators.reshuffle import reshuffle, write_silver
+
+    spark = _spark(args)
+    bronze = spark.read.parquet(args.bronze)
+    write_silver(reshuffle(bronze, n_cells=args.n_cells), args.out)
+    print(f"silver written to {args.out}")
+
+
+def cmd_rollup(args):
+    from .grid import with_cell_id
+    from .lineage import ResumableTierWriter
+    from .operators.rollup import finalize, rollup_cascade, rollup_from_raw
+
+    spark = _spark(args)
+    silver = spark.read.parquet(args.silver)
+    tiers = args.tiers.split(",")
+    lower = None
+    for tier in ("hourly", "daily", "monthly"):
+        if tier not in tiers:
+            continue
+        df = (
+            rollup_from_raw(silver, tier)
+            if lower is None
+            else rollup_cascade(lower, tier)
+        )
+        lower = df
+        out = finalize(df)
+        w = ResumableTierWriter(
+            spark,
+            f"{args.out}/{tier}",
+            f"{args.out}/_lineage",
+            tier=tier,
+        )
+        n = w.run(with_cell_id(out, args.n_cells))
+        print(f"tier {tier}: {n} cells committed")
+
+
+def cmd_extend(args):
+    from .incremental import extend_silver
+
+    spark = _spark(args)
+    new_bronze = spark.read.parquet(args.bronze)
+    cells = extend_silver(spark, args.silver, new_bronze, n_cells=args.n_cells)
+    print(f"extended {len(cells)} cells: {sorted(cells)[:20]}")
+
+
+def cmd_read(args):
+    from .operators.pointread import TsReader
+
+    spark = _spark(args)
+    r = TsReader(spark, args.silver, n_cells=args.n_cells)
+    pdf = r.read(args.conv_id)
+    print(pdf.to_string())
+
+
+def cmd_bench(args):
+    import os
+
+    if args.sf_dir:
+        os.environ["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ecmwf_models_spark")
+    p.add_argument("--cpus", type=int, default=32)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("ingest")
+    s.add_argument("--out", required=True)
+    s.add_argument("--n-conv", type=int, default=500)
+    s.add_argument("--days", type=int, default=31)
+    s.add_argument("--turns", type=int, default=24)
+    s.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("reshuffle")
+    s.add_argument("--bronze", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--n-cells", type=int, default=64)
+    s.set_defaults(fn=cmd_reshuffle)
+
+    s = sub.add_parser("rollup")
+    s.add_argument("--silver", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--tiers", default="hourly,daily,monthly")
+    s.add_argument("--n-cells", type=int, default=64)
+    s.set_defaults(fn=cmd_rollup)
+
+    s = sub.add_parser("extend")
+    s.add_argument("--silver", required=True)
+    s.add_argument("--bronze", required=True)
+    s.add_argument("--n-cells", type=int, default=64)
+    s.set_defaults(fn=cmd_extend)
+
+    s = sub.add_parser("read")
+    s.add_argument("--silver", required=True)
+    s.add_argument("--conv-id", required=True)
+    s.add_argument("--n-cells", type=int, default=64)
+    s.set_defaults(fn=cmd_read)
+
+    s = sub.add_parser("bench")
+    s.add_argument("--sf-dir", default=None)
+    s.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

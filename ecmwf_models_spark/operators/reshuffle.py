@@ -63,23 +63,51 @@ def reshuffle(
     bucket_hours: int = 6,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Logical plan for the transpose; caller writes it (write_silver)."""
-    df = latest_final_wins(bronze)
-    df = derive_metrics(df)
-    df = with_ts_bucket(df, hours=bucket_hours)
-    df = with_cell_id(df, n_cells)
-    df = df.select(*[c for c in SILVER_COLS if c in df.columns])
+    """Logical plan for the transpose; caller writes it (write_silver).
+
+    SINGLE-SHUFFLE design. A window dedup would hash-shuffle on
+    (conv_id, turn_idx) and the transpose would range-shuffle again — two
+    full passes over the data. Instead:
+
+      1. repartitionByRange(cell_id, conv_id)  — THE transpose shuffle.
+         Range (not hash-by-cell) so a hot cell/conv still splits across
+         tasks by conv ranges and parallelism isn't capped at n_cells.
+      2. dedup as groupBy(cell_id, conv_id, turn_idx).agg(max_by(payload,
+         (not is_prelim, ingest_ts))) — its required ClusteredDistribution
+         is satisfied by the range partitioning (every (cell, conv) is
+         wholly inside one partition), so Catalyst inserts NO second
+         exchange. max_by(struct) = final-over-preliminary, then latest
+         ingest — identical semantics to operators.dedup.latest_final_wins.
+      3. sortWithinPartitions leading with cell_id: FileFormatWriter
+         requires output sorted by the partitionBy column and would
+         otherwise inject its own (unstable) sort on cell_id alone,
+         destroying the (conv_id, ts) order.
+
+    Net: one wide exchange + one in-partition sort for dedup + transpose +
+    ordering — the minimum the semantics allow.
+    """
+    df = with_cell_id(bronze, n_cells)
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    # Sort leads with cell_id: FileFormatWriter requires output sorted by
-    # the partitionBy column and would otherwise inject its own (unstable)
-    # sort on cell_id alone, destroying the (conv_id, ts) order. Leading
-    # with cell_id satisfies that requirement so our full ordering survives
-    # to the parquet row groups.
-    return df.repartitionByRange(
-        int(parts), "cell_id", "conv_id"
-    ).sortWithinPartitions("cell_id", "conv_id", "ts", "turn_idx")
+    ranged = df.repartitionByRange(int(parts), "cell_id", "conv_id")
+
+    payload = [c for c in bronze.columns if c not in
+               ("conv_id", "turn_idx", "is_prelim", "ingest_ts")]
+    pref = F.struct(
+        (~F.coalesce(F.col("is_prelim"), F.lit(False))).cast("int").alias("f"),
+        F.coalesce(F.col("ingest_ts"), F.col("ts")).alias("i"),
+    )
+    dd = ranged.groupBy("cell_id", "conv_id", "turn_idx").agg(
+        F.max_by(F.struct(*payload), pref).alias("_r")
+    )
+    flat = dd.select(
+        "cell_id", "conv_id", "turn_idx",
+        *[F.col(f"_r.{c}").alias(c) for c in payload],
+    )
+    out = with_ts_bucket(derive_metrics(flat), hours=bucket_hours)
+    out = out.select(*[c for c in SILVER_COLS if c in out.columns])
+    return out.sortWithinPartitions("cell_id", "conv_id", "ts", "turn_idx")
 
 
 def write_silver(silver: DataFrame, path: str) -> None:
