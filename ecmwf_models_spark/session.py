@@ -28,9 +28,12 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or max(
         DEFAULT_SHUFFLE_PARTITIONS, cores
     )
+    builder = SparkSession.builder
+    if not os.environ.get("SPARK_GRAFT_VIA_SUBMIT"):
+        # standalone/pytest path; under spark-submit the --master flag rules
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -43,6 +46,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # min_by/max_by/first-last are TypedImperativeAggregates -> Object
+        # hash aggregation; the default sort-based fallback threshold (128
+        # keys!) silently turns every high-cardinality rollup into a
+        # sort-aggregate. Keys-per-task stays bounded because shuffle
+        # partitions are sized with the data (keys/partition ~= group
+        # count / shuffle partitions), so a 4M-key hash map (~tens of MB)
+        # is the cheaper, bounded choice at any cluster size.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "4000000",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
