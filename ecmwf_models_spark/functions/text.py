@@ -74,18 +74,32 @@ def minhash_signature(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """doc_id + array<long> MinHash signature. k independent hash families
-    via xxhash64(shingle, seed_i); min per family. All JVM-side: the
-    per-seed min is an aggregate over the exploded shingle set, computed
-    with array_min(transform(...)) without exploding at all."""
-    sh = shingles(tokens(text_col), shingle_n).alias("_sh")
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, seed))
-        ),
-    ).alias("signature")
-    return docs.select("doc_id", sh).select("doc_id", sig)
+    """doc_id + array<long> MinHash signature: explode shingles once, then
+    k independent families as min(xxhash64(shingle, seed_i)) hash
+    aggregates — the canonical distributed MinHash.
+
+    Deliberately NOT array_min(transform(shingles, ...)) over an array
+    column: ProjectCollapse inlines the tokenize+shingle expression into
+    every lambda body, so a 32-seed transform re-tokenizes each row 32x
+    (and a downstream banding transform multiplies it again — measured
+    100x+ blowup). The aggregate form computes shingles exactly once per
+    row, stays whole-stage-codegen'd, and partial aggregation collapses
+    each doc's shingles map-side before any shuffle (one row per doc per
+    partition crosses the wire)."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles(tokens(text_col), shingle_n)).alias("_s"),
+    )
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("_s", F.lit(seed))).alias(f"_h{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
+    return per_doc.select(
+        "doc_id",
+        F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def lsh_candidate_pairs(
