@@ -43,7 +43,12 @@ def cmd_reshuffle(args):
 
     spark = _spark(args)
     bronze = spark.read.parquet(args.bronze)
-    write_silver(reshuffle(bronze, n_cells=args.n_cells), args.out)
+    silver = reshuffle(
+        bronze,
+        n_cells=args.n_cells,
+        salt_segment_hours=args.salt_segment_hours,
+    )
+    write_silver(silver, args.out)
     print(f"silver written to {args.out}")
 
 
@@ -122,6 +127,10 @@ def main(argv=None):
     s.add_argument("--bronze", required=True)
     s.add_argument("--out", required=True)
     s.add_argument("--n-cells", type=int, default=64)
+    s.add_argument(
+        "--salt-segment-hours", type=int, default=None,
+        help="split hot convs into ts segments of this size (skew salt)",
+    )
     s.set_defaults(fn=cmd_reshuffle)
 
     s = sub.add_parser("rollup")

@@ -62,6 +62,7 @@ def reshuffle(
     n_cells: int = DEFAULT_N_CELLS,
     bucket_hours: int = 6,
     num_partitions: int | None = None,
+    salt_segment_hours: int | None = None,
 ) -> DataFrame:
     """Logical plan for the transpose; caller writes it (write_silver).
 
@@ -95,26 +96,52 @@ def reshuffle(
 
     Net: one wide exchange + two in-partition sorts (dedup order, output
     order) — everything streams, no per-key aggregation state.
+
+    HOT-CONV SALTING (north-rule skew handling). A conversation with more
+    turns than fit one task would bottleneck (or OOM) its range
+    partition. With salt_segment_hours set, the range keys become
+    (cell_id, conv_id, seg) where seg = floor(epoch(ts) / segment) — the
+    ts-bucket salt: a hot conv splits into contiguous TIME SEGMENTS
+    across tasks. Because the salt is ordered (not hashed), range
+    partition boundaries still respect (cell, conv, ts) order, so the
+    per-cell file sequence remains globally sorted (O1) and downstream
+    per-cell packing (codec.pack_cells) re-merges segments trivially.
+    Dedup stays correct because duplicate/revised turns share their ts
+    (the reference's ERA5 vs ERA5-T duplicates are two files for the
+    SAME timestamp, interface.py:289-296) and hence the same segment;
+    the group key gains seg so the aggregate still rides the range
+    partitioning with no extra exchange.
     """
     df = with_cell_id(bronze, n_cells)
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    ranged = df.repartitionByRange(int(parts), "cell_id", "conv_id")
+    salt = []
+    if salt_segment_hours:
+        df = df.withColumn(
+            "_seg",
+            F.floor(F.unix_timestamp("ts") / (salt_segment_hours * 3600)),
+        )
+        salt = ["_seg"]
+    ranged = df.repartitionByRange(int(parts), "cell_id", "conv_id", *salt)
 
     payload = [c for c in bronze.columns if c not in
                ("conv_id", "turn_idx", "is_prelim", "ingest_ts")]
+    # sort keys must lead with the EXACT group-key prefix (incl. salt) or
+    # the SortAggregate injects its own unstable sort and the winner-first
+    # order is lost
     winner_first = ranged.sortWithinPartitions(
         "cell_id",
         "conv_id",
+        *salt,
         "turn_idx",
         F.coalesce(F.col("is_prelim"), F.lit(False)).asc(),
         F.coalesce(F.col("ingest_ts"), F.col("ts")).desc(),
         F.xxhash64(*payload),
     )
-    flat = winner_first.groupBy("cell_id", "conv_id", "turn_idx").agg(
-        *[F.first(c).alias(c) for c in payload]
-    )
+    flat = winner_first.groupBy(
+        "cell_id", "conv_id", *salt, "turn_idx"
+    ).agg(*[F.first(c).alias(c) for c in payload])
     out = with_ts_bucket(derive_metrics(flat), hours=bucket_hours)
     out = out.select(*[c for c in SILVER_COLS if c in out.columns])
     return out.sortWithinPartitions("cell_id", "conv_id", "ts", "turn_idx")
