@@ -57,6 +57,14 @@ def get_spark(
             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
             "4000000",
         )
+        # v2 commit: task-parallel renames instead of a serial driver loop
+        # over every output file at job commit — the dominant SERIAL cost
+        # of cell-partitioned writes (hundreds of files), i.e. the Amdahl
+        # term that caps scaling efficiency
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
