@@ -12,6 +12,14 @@ and derives avg = sum/count only at the edge, cast to float32 there (the
 reference's float32 storage contract, era5/reshuffle.py:240; test tolerance
 rtol=1e-5, tests/tests_era5/test_era5_reshuffle.py:75-77).
 
+Sums are carried as decimal(38,18), NOT double: decimal addition is
+associative, so tier outputs are bit-identical at any partitioning / task
+order / AQE layout — double accumulation flips rounding-boundary values
+between runs (the round-1 monthly hash failure). float32 inputs convert
+exactly (a float's shortest decimal repr is <= 18 fractional digits within
+our metric range), and the decimal state is the same 16 bytes an avg pair
+would be, map-side combinable like any sum.
+
 Spark-first: plain hash aggregation — partial (map-side) + final, fully
 whole-stage-codegen'd, no UDFs. first/last use min_by/max_by on the bucket
 timestamp, which re-aggregates exactly (min_by over min_by composes).
@@ -34,7 +42,7 @@ def _agg_state(value_cols, n_turns_expr):
     aggs = [n_turns_expr.alias("n_turns")]
     for c in value_cols:
         aggs += [
-            F.sum(F.col(c).cast("double")).alias(f"{c}_sum"),
+            F.sum(F.col(c).cast("decimal(38,18)")).alias(f"{c}_sum"),
             F.count(c).alias(f"{c}_cnt"),
             F.min(c).alias(f"{c}_min"),
             F.max(c).alias(f"{c}_max"),
@@ -85,7 +93,9 @@ def finalize(df: DataFrame, value_cols: tuple[str, ...] = METRICS) -> DataFrame:
     for c in value_cols:
         out = out.withColumn(
             f"{c}_avg",
-            (F.col(f"{c}_sum") / F.col(f"{c}_cnt")).cast("float"),
+            (F.col(f"{c}_sum").cast("double") / F.col(f"{c}_cnt")).cast(
+                "float"
+            ),
         )
         for suffix in ("min", "max", "first", "last"):
             out = out.withColumn(

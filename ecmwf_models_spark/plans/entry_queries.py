@@ -33,13 +33,43 @@ def R6(c):
     return F.round(c, 6)
 
 
+def DEC(c):
+    """Order-independent sum carrier: double -> decimal(38,18).
+
+    Double summation is order-dependent (partition / AQE layout changes the
+    float error, and round(.,6) then flips values sitting on a rounding
+    boundary — the round-1 rollup_monthly_from_daily hash failure). Decimal
+    addition is associative, so sums carried as decimal(38,18) are exact and
+    identical at ANY parallelism. Spark's double->decimal cast goes through
+    the shortest decimal representation (Double.toString); the DuckDB oracle
+    mirrors it with CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)) — verified
+    bit-identical per row on the driver testdata."""
+    return F.col(c).cast("decimal(38,18)") if isinstance(c, str) else c.cast(
+        "decimal(38,18)"
+    )
+
+
+def DSUM(c):
+    """sum(decimal) surfaced as double (exact sum, deterministic cast)."""
+    return F.sum(DEC(c)).cast("double")
+
+
+# DuckDB-side equivalent of DEC for oracle SQL strings
+def _dec(expr: str) -> str:
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,18))"
+
+
+def _dsum(expr: str) -> str:
+    return f"CAST(sum({_dec(expr)}) AS DOUBLE)"
+
+
 # --------------------------------------------------------------- rollups
 
 def _hourly_state():
     # built lazily: Column construction needs an active SparkSession
     return [
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("_sum"),
+        F.sum(DEC("value")).alias("_sum"),  # exact, order-independent
         F.count("value").alias("_cnt"),
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
@@ -53,8 +83,8 @@ def _finalize_state(df):
         "user_id",
         _fmt("bucket").alias("bucket_ts"),
         "n_events",
-        R6("_sum").alias("value_sum"),
-        R6(F.col("_sum") / F.col("_cnt")).alias("value_avg"),
+        R6(F.col("_sum").cast("double")).alias("value_sum"),
+        R6(F.col("_sum").cast("double") / F.col("_cnt")).alias("value_avg"),
         "value_min",
         "value_max",
         "value_first",
@@ -116,8 +146,8 @@ def _oracle_rollup(trunc: str) -> str:
     SELECT user_id,
            strftime(date_trunc('{trunc}', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
            count(*) AS n_events,
-           round(sum(value), 6) AS value_sum,
-           round(sum(value) / count(value), 6) AS value_avg,
+           round({_dsum('value')}, 6) AS value_sum,
+           round({_dsum('value')} / count(value), 6) AS value_avg,
            min(value) AS value_min,
            max(value) AS value_max,
            arg_min(value, ts) AS value_first,
@@ -135,7 +165,7 @@ def q_bucket_6h(spark, sf_dir):
     )
     return (
         ev.groupBy(b.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_events"), R6(F.sum("value")).alias("value_sum"))
+        .agg(F.count(F.lit(1)).alias("n_events"), R6(DSUM("value")).alias("value_sum"))
         .select(_fmt("bucket").alias("bucket_ts"), "n_events", "value_sum")
     )
 
@@ -144,9 +174,9 @@ ORACLE_BUCKET_6H = """
 SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)*1000000),
                 '%Y-%m-%d %H:%M:%S') AS bucket_ts,
        count(*) AS n_events,
-       round(sum(value), 6) AS value_sum
+       round({dsum}, 6) AS value_sum
 FROM events GROUP BY 1
-"""
+""".format(dsum=_dsum("value"))
 
 
 # ----------------------------------------------------------- dedup / sel
@@ -193,15 +223,15 @@ def q_h_steps_selection(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            R6(F.sum("value")).alias("value_sum"),
+            R6(DSUM("value")).alias("value_sum"),
         )
     )
 
 
 ORACLE_H_STEPS = """
-SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS value_sum
+SELECT event_type, count(*) AS n_events, round({dsum}, 6) AS value_sum
 FROM events WHERE hour(ts) IN (0, 6, 12, 18) GROUP BY 1
-"""
+""".format(dsum=_dsum("value"))
 
 
 def q_gapfill_missing_buckets(spark, sf_dir):
@@ -325,15 +355,18 @@ def q_version_coalesce(spark, sf_dir):
     fall back to the view-metric (operators/masking.py
     coalesce_versions)."""
     ev = _t(spark, sf_dir, "events")
+    def _favg(et):
+        cond = F.col("event_type") == et
+        return R6(
+            F.sum(F.when(cond, DEC("value"))).cast("double")
+            / F.count(F.when(cond, F.col("value")))
+        )
+
     g = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
-        R6(F.avg(F.when(F.col("event_type") == "purchase", F.col("value")))).alias(
-            "purchase_avg"
-        ),
-        R6(F.avg(F.when(F.col("event_type") == "view", F.col("value")))).alias(
-            "view_avg"
-        ),
+        _favg("purchase").alias("purchase_avg"),
+        _favg("view").alias("view_avg"),
     )
     return g.select(
         "user_id",
@@ -345,11 +378,14 @@ def q_version_coalesce(spark, sf_dir):
 ORACLE_COALESCE = """
 SELECT user_id,
        strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_ts,
-       coalesce(round(avg(value) FILTER (WHERE event_type = 'purchase'), 6),
-                round(avg(value) FILTER (WHERE event_type = 'view'), 6))
+       coalesce(
+         round(CAST(sum({dec}) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               / count(value) FILTER (WHERE event_type = 'purchase'), 6),
+         round(CAST(sum({dec}) FILTER (WHERE event_type = 'view') AS DOUBLE)
+               / count(value) FILTER (WHERE event_type = 'view'), 6))
            AS metric
 FROM events GROUP BY 1, 2
-"""
+""".format(dec=_dec("value"))
 
 
 def q_cell_assignment(spark, sf_dir):
@@ -409,43 +445,44 @@ FROM (
 
 def q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            R6(F.sum("l_quantity")).alias("sum_qty"),
-            R6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            R6(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("sum_disc_price"),
-            R6(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                )
-            ).alias("sum_charge"),
-            R6(F.avg("l_quantity")).alias("avg_qty"),
-            R6(F.avg("l_extendedprice")).alias("avg_price"),
-            R6(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            R6(DSUM("l_quantity")).alias("sum_qty"),
+            R6(DSUM("l_extendedprice")).alias("sum_base_price"),
+            R6(DSUM(disc_price)).alias("sum_disc_price"),
+            R6(DSUM(charge)).alias("sum_charge"),
+            R6(DSUM("l_quantity") / n).alias("avg_qty"),
+            R6(DSUM("l_extendedprice") / n).alias("avg_price"),
+            R6(DSUM("l_discount") / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
 
 ORACLE_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round({q}, 6) AS sum_qty,
+       round({p}, 6) AS sum_base_price,
+       round({dp}, 6) AS sum_disc_price,
+       round({ch}, 6) AS sum_charge,
+       round({q} / count(*), 6) AS avg_qty,
+       round({p} / count(*), 6) AS avg_price,
+       round({d} / count(*), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
 GROUP BY 1, 2
-"""
+""".format(
+    q=_dsum("l_quantity"),
+    p=_dsum("l_extendedprice"),
+    d=_dsum("l_discount"),
+    dp=_dsum("l_extendedprice * (1 - l_discount)"),
+    ch=_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+)
 
 
 def q_revenue_by_nation(spark, sf_dir):
@@ -459,18 +496,18 @@ def q_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            R6(F.sum("o_totalprice")).alias("revenue"),
+            R6(DSUM("o_totalprice")).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
 
 ORACLE_REVENUE = """
-SELECT n_name, round(sum(o_totalprice), 6) AS revenue, count(*) AS n_orders
+SELECT n_name, round({r}, 6) AS revenue, count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1
-"""
+""".format(r=_dsum("o_totalprice"))
 
 
 # ------------------------------------------------------------- text ops
@@ -520,11 +557,12 @@ FROM documents GROUP BY 1
 def q_quality_per_source(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     feats = TXT.quality_features(docs)
+    n = F.count(F.lit(1))
     return feats.groupBy("source").agg(
-        R6(F.avg("quality_score")).alias("avg_quality"),
-        R6(F.avg("stopword_ratio")).alias("avg_stopword_ratio"),
-        R6(F.avg("punct_ratio")).alias("avg_punct_ratio"),
-        F.count(F.lit(1)).alias("n_docs"),
+        R6(DSUM("quality_score") / n).alias("avg_quality"),
+        R6(DSUM("stopword_ratio") / n).alias("avg_stopword_ratio"),
+        R6(DSUM("punct_ratio") / n).alias("avg_punct_ratio"),
+        n.alias("n_docs"),
     )
 
 
@@ -546,16 +584,20 @@ WITH f AS (
   FROM f
 )
 SELECT source,
-       round(avg(round(
-           least(n_tok / 50.0, 1.0) * 0.4
-           + stopword_ratio * 0.3
-           + (1 - least(punct_ratio * 5, 1.0)) * 0.2
-           + (1 - least(digit_ratio * 5, 1.0)) * 0.1, 6)), 6) AS avg_quality,
-       round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
-       round(avg(punct_ratio), 6) AS avg_punct_ratio,
+       round({qsum} / count(*), 6) AS avg_quality,
+       round({ssum} / count(*), 6) AS avg_stopword_ratio,
+       round({psum} / count(*), 6) AS avg_punct_ratio,
        count(*) AS n_docs
 FROM g GROUP BY 1
-"""
+""".format(
+    qsum=_dsum(
+        "round(least(n_tok / 50.0, 1.0) * 0.4 + stopword_ratio * 0.3"
+        " + (1 - least(punct_ratio * 5, 1.0)) * 0.2"
+        " + (1 - least(digit_ratio * 5, 1.0)) * 0.1, 6)"
+    ),
+    ssum=_dsum("stopword_ratio"),
+    psum=_dsum("punct_ratio"),
+)
 
 
 def q_lang_id_counts(spark, sf_dir):
@@ -684,19 +726,22 @@ def q_embedding_norms(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
+    n = F.count(F.lit(1))
     return emb.groupBy("label").agg(
-        R6(F.avg(SIM.norm(F.col("embedding")))).alias("avg_norm"),
-        F.count(F.lit(1)).alias("n_vecs"),
+        R6(F.sum(SIM.norm(F.col("embedding")).cast("decimal(38,18)"))
+           .cast("double") / n).alias("avg_norm"),
+        n.alias("n_vecs"),
     )
 
 
 ORACLE_EMB_NORMS = """
 SELECT label,
-       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6)
-           AS avg_norm,
+       round({s} / count(*), 6) AS avg_norm,
        count(*) AS n_vecs
 FROM embeddings GROUP BY 1
-"""
+""".format(
+    s=_dsum("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))")
+)
 
 
 # -------------------------------------------- non-SQL-expressible (rows only)

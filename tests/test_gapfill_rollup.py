@@ -119,6 +119,7 @@ def test_float32_edge_contract(silver):
     for c in ("text_len_avg", "text_len_min", "text_len_max",
               "text_len_first", "text_len_last"):
         assert dt[c] == "float", c
-    # carried state stays wide (exactness): sums are double, counts long
-    assert dt["text_len_sum"] == "double"
+    # carried state stays exact AND order-independent: decimal sums
+    # (associative addition -> bit-stable at any partitioning), counts long
+    assert dt["text_len_sum"] == "decimal(38,18)"
     assert dt["text_len_cnt"] == "bigint"
