@@ -68,31 +68,55 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ------------------------------------------------------------ MinHash/LSH
 
-def minhash_signature(
+def portable_hash64(c: Column, seed: int | Column = 0) -> Column:
+    """md5-derived 60-bit hash, bit-reproducible in any engine with md5:
+    ('0x' || substr(md5(seed || ':' || s), 1, 15))::BIGINT in DuckDB.
+    ~10x slower than xxhash64 — the oracle-parity path, not the default."""
+    s = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", s, c)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _shingle_hash(c: Column, seed: int, portable: bool) -> Column:
+    return portable_hash64(c, seed) if portable else F.xxhash64(c, F.lit(seed))
+
+
+def shingle_sets(
     docs: DataFrame,
     text_col: str = "text",
-    num_hashes: int = 32,
     shingle_n: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
-    """doc_id + array<long> MinHash signature: explode shingles once, then
-    k independent families as min(xxhash64(shingle, seed_i)) hash
+    """doc_id + distinct word-shingle set. With materialize=True the sets
+    are computed ONCE and pinned (localCheckpoint) so a self-joining
+    consumer doesn't re-run tokenize+shingle per join side — on a real
+    cluster you'd write this to a temp table instead; the shape (one
+    narrow row per doc) is the same."""
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh"),
+    )
+    return sets.localCheckpoint(eager=True) if materialize else sets
+
+
+def minhash_signature_from_sets(
+    sets: DataFrame, num_hashes: int = 32, portable: bool = False
+) -> DataFrame:
+    """doc_id + array<long> MinHash signature from shingle sets: explode
+    once, then k independent families as min(hash(shingle, seed_i))
     aggregates — the canonical distributed MinHash.
 
     Deliberately NOT array_min(transform(shingles, ...)) over an array
-    column: ProjectCollapse inlines the tokenize+shingle expression into
-    every lambda body, so a 32-seed transform re-tokenizes each row 32x
-    (and a downstream banding transform multiplies it again — measured
-    100x+ blowup). The aggregate form computes shingles exactly once per
-    row, stays whole-stage-codegen'd, and partial aggregation collapses
-    each doc's shingles map-side before any shuffle (one row per doc per
-    partition crosses the wire)."""
-    sh = docs.select(
-        "doc_id",
-        F.explode(shingles(tokens(text_col), shingle_n)).alias("_s"),
-    )
+    column: ProjectCollapse inlines the shingle expression into every
+    lambda body, so a 32-seed transform re-computes it 32x (measured 100x+
+    blowup with downstream banding). The aggregate form stays
+    whole-stage-codegen'd and partial aggregation collapses each doc's
+    shingles map-side before any shuffle."""
+    sh = sets.select("doc_id", F.explode("sh").alias("_s"))
     per_doc = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("_s", F.lit(seed))).alias(f"_h{seed}")
+            F.min(_shingle_hash(F.col("_s"), seed, portable)).alias(f"_h{seed}")
             for seed in range(num_hashes)
         ]
     )
@@ -102,38 +126,66 @@ def minhash_signature(
     )
 
 
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    return minhash_signature_from_sets(
+        shingle_sets(docs, text_col, shingle_n), num_hashes, portable
+    )
+
+
+def _band_hashes(num_hashes: int, bands: int, portable: bool) -> Column:
+    """array of per-band hashes over the `signature` column. Band width is
+    resolved at plan time (num_hashes known), so each band hash is one
+    flat expression — no lambda re-expansion."""
+    r = num_hashes // bands
+    cols = []
+    for b in range(bands):
+        parts = F.concat_ws(
+            ",",
+            *[F.col("signature")[b * r + j].cast("string") for j in range(r)],
+        )
+        cols.append(
+            portable_hash64(parts, b) if portable else F.xxhash64(parts, F.lit(b))
+        )
+    return F.array(*cols)
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8
+    signatures: DataFrame,
+    bands: int = 8,
+    num_hashes: int = 32,
+    portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature, hash each band, self-join per (band, hash)
-    bucket -> candidate pairs (doc_id_a < doc_id_b). The join key is the
-    band hash, so only same-bucket docs ever meet — the standard LSH
-    candidate generation, shuffle proportional to bucket sizes."""
-    n = None  # rows per band derived from signature length at runtime
+    bucket -> candidate pairs (doc_id_a < doc_id_b). Only same-bucket docs
+    ever meet — shuffle proportional to bucket sizes, never all-pairs.
+
+    max_bucket caps pathological buckets (e.g. thousands of byte-identical
+    docs land in one bucket -> quadratic pairs): buckets larger than the
+    cap are dropped from candidate generation. Exact duplicates are the
+    cheap case (exact_dedup catches them); the cap bounds worst-case join
+    fan-out at 100 TB. Pass signatures MATERIALIZED (localCheckpoint /
+    temp table) or the signature pipeline runs once per join side."""
     banded = signatures.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("signature"),
-                                b * (F.size("signature") / bands).cast("int")
-                                + 1,
-                                (F.size("signature") / bands).cast("int"),
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    ),
-                    b,
-                ),
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(_band_hashes(num_hashes, bands, portable)).alias(
+            "band", "band_hash"
+        ),
     )
-    _ = n
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        banded = banded.join(
+            sizes.where(F.col("_bucket_n") <= max_bucket),
+            ["band", "band_hash"],
+        ).drop("_bucket_n")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -151,6 +203,40 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_verify_sets(
+    sets: DataFrame, pairs: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard over precomputed shingle sets for candidate pairs."""
+    j = (
+        pairs.join(
+            sets.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_id_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold).select(
+        "doc_id_a", "doc_id_b", "jaccard"
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -158,46 +244,60 @@ def minhash_dedup_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     shingle_n: int = 3,
+    portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature -> banded candidates ->
-    exact Jaccard verification on candidates only."""
-    sigs = minhash_signature(docs, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, bands)
-    return ngram_jaccard_verify(docs, cands, text_col, shingle_n, threshold)
+    exact Jaccard verification on candidates only.
+
+    Shingle sets and signatures are each computed ONCE and materialized;
+    round 1 ran the tokenize->shingle->32-min pipeline three times (both
+    self-join sides + verify) — 158s at sf0.1, now bounded by one pass."""
+    sets = shingle_sets(docs, text_col, shingle_n, materialize=True)
+    sigs = minhash_signature_from_sets(
+        sets, num_hashes, portable
+    ).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes, portable, max_bucket)
+    return jaccard_verify_sets(sets, cands, threshold)
 
 
 # ---------------------------------------------------------------- SimHash
 
-def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc. Explode tokens once, contribute +/-1 per bit
-    per token, sum per (doc, bit), reassemble the bitmap — three narrow
-    aggregations, no UDF."""
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """n_bits-wide SimHash per doc in ONE aggregation: explode tokens,
+    then n_bits conditional sums (+1 if token-hash bit set else -1) per
+    doc — no per-bit posexplode (round 1 blew the token table up 64x
+    before the groupBy), map-side combinable, whole-stage-codegen'd.
+    Sign bit (bit 63) assembles by subtraction to stay in long range.
+    portable=True uses the 60-bit md5 hash (DuckDB-reproducible)."""
     tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
-    tok = tok.withColumn("h", F.xxhash64("tok"))
-    bit = tok.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.when(F.getbit("h", F.lit(b)) == 1, 1).otherwise(-1)
-                    for b in range(64)
-                ]
-            )
-        ).alias("bit", "contrib"),
+    h = portable_hash64(F.col("tok"), 0) if portable else F.xxhash64("tok")
+    tok = tok.withColumn("h", h)
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.getbit("h", F.lit(b)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(n_bits)
+        ]
     )
-    sums = bit.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
-    # reassemble: shiftleft(1L, bit) with a column shift via SQL expr; the
-    # sign bit uses subtraction to stay in long range under ANSI mode
-    return sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.when(F.col("bit") == 63, F.lit(-(2**63))).otherwise(
-                    F.expr("shiftleft(1L, bit)")
-                ),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    acc = F.lit(0).cast("long")
+    for b in range(n_bits):
+        high = F.lit(-(2**63)) if b == 63 else F.lit(1 << b)
+        acc = acc + F.when(F.col(f"_b{b}") > 0, high).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select("doc_id", acc.alias("simhash"))
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit xxhash64-based SimHash (the production default)."""
+    return simhash(docs, text_col, n_bits=64, portable=False)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -259,37 +359,8 @@ def ngram_jaccard_verify(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Exact Jaccard over word shingle SETS for given candidate pairs."""
-    sets = docs.select(
-        "doc_id",
-        F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh"),
-    )
-    j = (
-        pairs.join(
-            sets.select(
-                F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")
-            ),
-            "doc_id_a",
-        )
-        .join(
-            sets.select(
-                F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")
-            ),
-            "doc_id_b",
-        )
-        .withColumn(
-            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
-                6,
-            ),
-        )
-    )
-    return j.where(F.col("jaccard") >= threshold).select(
-        "doc_id_a", "doc_id_b", "jaccard"
+    return jaccard_verify_sets(
+        shingle_sets(docs, text_col, shingle_n), pairs, threshold
     )
 
 
@@ -299,21 +370,49 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Set-similarity join: inverted index on shingles -> candidates that
-    share >=1 shingle -> exact verify. At scale, prefix filtering or
-    MinHash-LSH (above) bounds the candidate set; this exact variant is
-    the correctness baseline."""
-    sets = docs.select(
-        "doc_id",
-        F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh"),
+    """Exact set-similarity join with PREFIX FILTERING (AllPairs/PPJoin
+    family: Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06).
+
+    Round 1 generated a candidate for every pair sharing ANY shingle —
+    near-quadratic on natural text where stop-shingles bucket almost
+    everything. Prefix filtering is the exact fix: order the shingle
+    universe globally by (document frequency, shingle); a pair with
+    J(A,B) >= t has |A∩B| >= ceil(t*|A|), so at least one common shingle
+    must land in A's first |A| - ceil(t*|A|) + 1 shingles (pigeonhole) —
+    and likewise for B. Indexing ONLY those prefixes makes candidate
+    volume proportional to rare-shingle co-occurrence while provably
+    keeping every true pair (no false negatives; verify removes false
+    positives). A length filter (t*|A| <= |B| <= |A|/t) prunes further.
+
+    At 100 TB: the df-count and df-join shuffle on `shingle` (well
+    distributed), the per-doc prefix rank is a bounded window per doc_id,
+    and the candidate self-join touches prefix postings only — the classic
+    distributed AllPairs layout."""
+    from pyspark.sql import Window
+
+    sets = shingle_sets(docs, text_col, shingle_n, materialize=True)
+    inv = sets.select(
+        "doc_id", F.size("sh").alias("set_n"), F.explode("sh").alias("shingle")
     )
-    inv = sets.select("doc_id", F.explode("sh").alias("shingle"))
-    a, b = inv.alias("a"), inv.alias("b")
+    df_counts = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = inv.join(df_counts, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix_len = (
+        F.col("set_n") - F.ceil(F.lit(threshold) * F.col("set_n")) + 1
+    )
+    prefix = (
+        ranked.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= prefix_len)
+        .select("doc_id", "set_n", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.set_n") >= F.lit(threshold) * F.col("a.set_n"))
+            & (F.col("a.set_n") >= F.lit(threshold) * F.col("b.set_n")),
         )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
@@ -321,7 +420,7 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    return ngram_jaccard_verify(docs, cands, text_col, shingle_n, threshold)
+    return jaccard_verify_sets(sets, cands, threshold)
 
 
 # -------------------------------------------------------------- analysis

@@ -744,22 +744,108 @@ FROM embeddings GROUP BY 1
 )
 
 
-# -------------------------------------------- non-SQL-expressible (rows only)
+# ---------------------------------------- portable-hash dedup (oracled)
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates + verified Jaccard (xxhash64-based
-    signatures — not reproducible in ANSI SQL; driver does rows-only
-    check, exact Jaccard itself is covered by q_ngram_jaccard_pairs)."""
+    """MinHash-LSH near-dup pipeline, portable md5 hashes so the ENTIRE
+    pipeline (signature -> banding -> candidates -> verify) reproduces
+    bit-for-bit in DuckDB (functions/text.py minhash_dedup_pairs;
+    production path swaps in xxhash64 via portable=False)."""
     docs = _t(spark, sf_dir, "documents")
     return TXT.minhash_dedup_pairs(
-        docs, num_hashes=32, bands=8, threshold=0.5
+        docs, num_hashes=32, bands=8, threshold=0.5, portable=True
     )
 
 
+_MH_SETS_CTE = """
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ')
+                    for i in generate_series(1, len(toks) - 2)]
+              ELSE [array_to_string(toks, ' ')]
+         END) AS sh
+  FROM t
+)"""
+
+_MH_SIG_COLS = ",\n         ".join(
+    "list_min([('0x' || substr(md5('%d:' || e), 1, 15))::BIGINT for e in sh])"
+    " AS h%d" % (seed, seed)
+    for seed in range(32)
+)
+
+_MH_BAND_ROWS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, %d AS band, ('0x' || substr(md5('%d:' || %s), 1, 15))::BIGINT"
+    " AS band_hash FROM sig"
+    % (
+        b,
+        b,
+        " || ',' || ".join(f"h{b * 4 + j}::VARCHAR" for j in range(4)),
+    )
+    for b in range(8)
+)
+
+ORACLE_MINHASH = f"""
+WITH {_MH_SETS_CTE}, sig AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS}
+  FROM s
+), banded AS (
+{_MH_BAND_ROWS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, jaccard FROM (
+  SELECT c.doc_id_a, c.doc_id_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+               6) AS jaccard
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.doc_id_a
+  JOIN s sb ON sb.doc_id = c.doc_id_b
+) WHERE jaccard >= 0.5
+"""
+
+
 def q_simhash_docs(spark, sf_dir):
-    """SimHash 64-bit fingerprints (xxhash64-based)."""
+    """SimHash fingerprints, portable md5 60-bit variant (one aggregation,
+    no per-bit explode; production default is 64-bit xxhash64)."""
     docs = _t(spark, sf_dir, "documents")
-    return TXT.simhash64(docs)
+    return TXT.simhash(docs, n_bits=60, portable=True)
+
+
+_SH_BIT_SUMS = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(60)
+)
+_SH_ASSEMBLE = "\n         + ".join(
+    f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60)
+)
+
+ORACLE_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT AS h
+  FROM tok
+), s AS (
+  SELECT doc_id,
+         {_SH_BIT_SUMS}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({_SH_ASSEMBLE} AS BIGINT) AS simhash
+FROM s
+"""
+
+
+# -------------------------------------------- non-SQL-expressible (rows only)
 
 
 def q_ann_topk_lsh(spark, sf_dir):
@@ -827,5 +913,8 @@ ORACLES = {
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD,
     "ann_topk": ORACLE_ANN_TOPK,
     "embedding_norms": ORACLE_EMB_NORMS,
-    # minhash_lsh_pairs / simhash_docs / ann_topk_lsh: rows-only by design
+    "minhash_lsh_pairs": ORACLE_MINHASH,
+    "simhash_docs": ORACLE_SIMHASH,
+    # ann_topk_lsh: approximate by construction (hyperplane LSH buckets
+    # from float dot products — not portably reproducible); rows-only
 }

@@ -161,3 +161,95 @@ def test_docs_scale_smoke(docs):
     q = X.quality_features(docs)
     assert q.where(F.col("quality_score") < 0).count() == 0
     assert q.where(F.col("quality_score") > 1).count() == 0
+
+
+def test_prefix_filter_bounds_candidates_with_universal_shingle(spark):
+    """A shingle present in EVERY doc must not make candidate generation
+    quadratic: with prefix filtering the universal (max-df) shingle sorts
+    last and only enters prefixes of docs whose prefix spans it."""
+    # 40 docs sharing one universal trigram; otherwise pairwise-disjoint
+    rows = [
+        (i, f"common shared shingle unique{i}a unique{i}b unique{i}c "
+            f"unique{i}d unique{i}e unique{i}f unique{i}g")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = X.ngram_jaccard_pairs(df, threshold=0.8)
+    # no pair is actually >= 0.8 similar
+    assert out.count() == 0
+    # and the internal candidate volume stays linear-ish: verify via the
+    # prefix postings — the universal shingle appears in df=40 docs but
+    # only in prefixes where rank <= |A| - ceil(0.8|A|) + 1 = 2 of 8,
+    # i.e. never (it has max df, so rank 8 of 8 distinct-ordered).
+    from pyspark.sql import Window
+    sets = X.shingle_sets(df)
+    inv = sets.select(
+        "doc_id", F.size("sh").alias("set_n"), F.explode("sh").alias("shingle")
+    )
+    dfc = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = inv.join(dfc, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = ranked.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk")
+        <= F.col("set_n") - F.ceil(F.lit(0.8) * F.col("set_n")) + 1
+    )
+    multi = (
+        prefix.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1).count()
+    )
+    assert multi == 0  # no shingle indexed by >1 doc -> zero candidates
+
+
+def test_prefix_filter_no_false_negatives(spark):
+    """Prefix filtering must keep every true pair (exactness contract):
+    compare against the brute-force share-any-shingle baseline."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "a completely different sentence about spark and data"),
+        (4, "a completely different sentence about spark and metal"),
+        (5, "unrelated text with nothing shared at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in X.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    # brute force: verify all pairs
+    ids = [r[0] for r in rows]
+    pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], ["doc_id_a", "doc_id_b"]
+    )
+    want = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in X.ngram_jaccard_verify(df, pairs, threshold=0.5).collect()
+    }
+    assert got == want and len(want) >= 2
+
+
+def test_lsh_bucket_cap_drops_oversized_buckets(spark):
+    """max_bucket bounds worst-case fan-out: 30 identical docs form one
+    bucket of 30 -> capped run yields no pairs, uncapped yields 435."""
+    same = [(i, "identical text shared by every doc here") for i in range(30)]
+    df = spark.createDataFrame(same, ["doc_id", "text"])
+    uncapped = X.minhash_dedup_pairs(df, threshold=0.9)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = X.minhash_dedup_pairs(df, threshold=0.9, max_bucket=10)
+    assert capped.count() == 0
+
+
+def test_simhash_portable_matches_bit_rule(spark):
+    """60-bit portable simhash: recompute one doc's hash in python."""
+    import hashlib
+
+    text = "alpha beta alpha gamma"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = X.simhash(df, n_bits=60, portable=True).first()["simhash"]
+    toks = ["alpha", "beta", "alpha", "gamma"]
+    sums = [0] * 60
+    for t in toks:
+        h = int(hashlib.md5(f"0:{t}".encode()).hexdigest()[:15], 16)
+        for b in range(60):
+            sums[b] += 1 if (h >> b) & 1 else -1
+    want = sum(1 << b for b in range(60) if sums[b] > 0)
+    assert got == want
