@@ -65,6 +65,7 @@ def pipeline(spark, bronze, out_dir, n_cells):
 
 
 def main():
+    os.environ.setdefault("SPARK_GRAFT_FAST_COMMIT", "1")  # bench-scoped
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_conv = int(os.environ.get("BENCH_N_CONV", "200000"))
     days = int(os.environ.get("BENCH_DAYS", "90"))

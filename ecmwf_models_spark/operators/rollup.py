@@ -6,19 +6,34 @@ cascading temporal rollups (BASELINE.json metric). The design constraint is
 EXACT re-aggregation: monthly-from-daily must equal monthly-from-raw. So
 every tier carries the decomposable state
 
-    (sum float64, count int64, min, max, first-by-ts, last-by-ts)
+    (sum int64-micro, count int64, min, max, first-by-ts, last-by-ts)
 
 and derives avg = sum/count only at the edge, cast to float32 there (the
 reference's float32 storage contract, era5/reshuffle.py:240; test tolerance
 rtol=1e-5, tests/tests_era5/test_era5_reshuffle.py:75-77).
 
-Sums are carried as decimal(38,18), NOT double: decimal addition is
-associative, so tier outputs are bit-identical at any partitioning / task
-order / AQE layout — double accumulation flips rounding-boundary values
-between runs (the round-1 monthly hash failure). float32 inputs convert
-exactly (a float's shortest decimal repr is <= 18 fractional digits within
-our metric range), and the decimal state is the same 16 bytes an avg pair
-would be, map-side combinable like any sum.
+Sums are carried as FIXED-POINT int64 micro-units (value * 1e6, rounded
+half-up), NOT double and NOT high-precision decimal:
+
+  * integer addition is associative -> tier outputs are bit-identical at
+    any partitioning / task order / AQE layout (double accumulation flips
+    rounding-boundary values between runs — the round-1 monthly hash
+    failure);
+  * int64 is Spark's primitive fast path: the whole rollup state stays in
+    HashAggregate's primitive mutable buffers inside whole-stage codegen.
+    decimal(38,18) (the round-1 fix) was also associative but precision>18
+    forces the BigDecimal slow path — measured ~2x slower with heavy GC on
+    the 7.5M-row cascade;
+  * quantization error is <=0.5e-6 per input row, far inside the
+    reference's rtol=1e-5 float32 golden tolerance, and is applied
+    identically on the DuckDB oracle side (floor(x*1e6 + 0.5)), so value
+    hashes still match bit-for-bit.
+
+Overflow bound: int64 holds |sum| < 9.2e18, i.e. ~9.2e12 in value units at
+MICRO=1e6. Groups here are per (conv_id, bucket); even a 1e6-turn
+conversation-month of 32k-char turns sums to ~3.2e16 micro — five orders
+of magnitude of headroom. Raise/lower MICRO per metric if a deployment
+needs a different range/precision trade.
 
 Spark-first: plain hash aggregation — partial (map-side) + final, fully
 whole-stage-codegen'd, no UDFs. first/last use min_by/max_by on the bucket
@@ -37,12 +52,25 @@ _TRUNC = {"hourly": "hour", "daily": "day", "monthly": "month"}
 
 METRICS = ("text_len", "tool_call")
 
+# fixed-point scale for carried sums: 6 decimal digits
+MICRO = 1_000_000
+
+
+def to_micro(c):
+    """double -> int64 micro-units, round-half-up. floor(x*1e6 + 0.5) is
+    IEEE-deterministic and expressible identically in ANSI SQL, so the
+    DuckDB oracle reproduces the exact same int64. NULL stays NULL (and a
+    NaN metric becomes NULL through the long cast, excluded from the sum
+    like the reference's masked fill values)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col.cast("double") * MICRO + F.lit(0.5)).cast("long")
+
 
 def _agg_state(value_cols, n_turns_expr):
     aggs = [n_turns_expr.alias("n_turns")]
     for c in value_cols:
         aggs += [
-            F.sum(F.col(c).cast("decimal(38,18)")).alias(f"{c}_sum"),
+            F.sum(to_micro(c)).alias(f"{c}_sum"),
             F.count(c).alias(f"{c}_cnt"),
             F.min(c).alias(f"{c}_min"),
             F.max(c).alias(f"{c}_max"),
@@ -88,14 +116,19 @@ def rollup_cascade(
 
 
 def finalize(df: DataFrame, value_cols: tuple[str, ...] = METRICS) -> DataFrame:
-    """Derive means and apply the float32 edge cast."""
+    """Derive means, convert micro sums back to value units, and apply the
+    float32 edge cast."""
     out = df
     for c in value_cols:
         out = out.withColumn(
             f"{c}_avg",
-            (F.col(f"{c}_sum").cast("double") / F.col(f"{c}_cnt")).cast(
-                "float"
-            ),
+            (
+                F.col(f"{c}_sum").cast("double")
+                / MICRO
+                / F.col(f"{c}_cnt")
+            ).cast("float"),
+        ).withColumn(
+            f"{c}_sum", F.col(f"{c}_sum").cast("double") / MICRO
         )
         for suffix in ("min", "max", "first", "last"):
             out = out.withColumn(

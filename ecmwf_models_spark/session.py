@@ -43,7 +43,23 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH)
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Tungsten sort/shuffle/agg buffers OFF the GC heap. With 32 local
+        # task threads on one big JVM heap, execution buffers alone drove
+        # young-gen GC to ~30s of stop-the-world per 7.5M-row pipeline run
+        # (the round-1 "local[32] cliff": 48g G1 heap, 101s reshuffle vs 7s
+        # at local[8]). Off-heap execution memory + a 16g heap cut the same
+        # pipeline 3-5x at local[32]. On a real cluster this maps 1:1 to
+        # executor conf (off-heap counts toward
+        # spark.executor.memoryOverhead sizing).
+        .config(
+            "spark.memory.offHeap.enabled",
+            os.environ.get("SPARK_GRAFT_OFFHEAP", "true"),
+        )
+        .config(
+            "spark.memory.offHeap.size",
+            os.environ.get("SPARK_GRAFT_OFFHEAP_SIZE", "16g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # min_by/max_by/first-last are TypedImperativeAggregates -> Object
@@ -57,15 +73,19 @@ def get_spark(
             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
             "4000000",
         )
-        # v2 commit: task-parallel renames instead of a serial driver loop
-        # over every output file at job commit — the dominant SERIAL cost
-        # of cell-partitioned writes (hundreds of files), i.e. the Amdahl
-        # term that caps scaling efficiency
-        .config(
+    )
+    # v2 commit: task-parallel renames instead of a serial driver loop
+    # over every output file at job commit — the dominant SERIAL cost of
+    # cell-partitioned writes (hundreds of files), i.e. the Amdahl term
+    # that caps scaling efficiency. Trade-off: a failed/killed job can
+    # leave partial output visible, so it is OPT-IN (bench + scaling
+    # entry points set SPARK_GRAFT_FAST_COMMIT=1); user-facing CLI writes
+    # keep the atomic v1 committer.
+    if os.environ.get("SPARK_GRAFT_FAST_COMMIT"):
+        builder = builder.config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             "2",
         )
-    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -119,7 +119,12 @@ def test_float32_edge_contract(silver):
     for c in ("text_len_avg", "text_len_min", "text_len_max",
               "text_len_first", "text_len_last"):
         assert dt[c] == "float", c
-    # carried state stays exact AND order-independent: decimal sums
-    # (associative addition -> bit-stable at any partitioning), counts long
-    assert dt["text_len_sum"] == "decimal(38,18)"
+    # finalize converts micro sums back to value units
+    assert dt["text_len_sum"] == "double"
     assert dt["text_len_cnt"] == "bigint"
+    # carried state stays exact AND order-independent: int64 micro-unit
+    # sums (associative addition -> bit-stable at any partitioning, and
+    # Spark's primitive HashAggregate fast path), counts long
+    raw = dict(rollup_from_raw(silver, "daily").dtypes)
+    assert raw["text_len_sum"] == "bigint"
+    assert raw["text_len_cnt"] == "bigint"
