@@ -78,8 +78,26 @@ def portable_hash64(c: Column, seed: int | Column = 0) -> Column:
     ).cast("long")
 
 
-def _shingle_hash(c: Column, seed: int, portable: bool) -> Column:
-    return portable_hash64(c, seed) if portable else F.xxhash64(c, F.lit(seed))
+def hash_pair(c: Column, portable: bool) -> tuple[Column, Column]:
+    """(h1, h2) base hashes for Kirsch-Mitzenmacher seed derivation:
+    h_i = h1 + i*h2 simulates k independent hash families from TWO base
+    hashes without loss of MinHash/Bloom guarantees (Kirsch & Mitzenmacher,
+    "Less Hashing, Same Performance", ESA 2006). Cuts per-shingle hashing
+    k-fold: ONE md5 (portable) or two xxhash64 (fast path) per shingle
+    instead of k full hashes — the dominant MinHash signature cost.
+
+    Portable path: both 56-bit halves come from one md5;
+    h1 + 31*h2 <= 32 * 2^56 = 2^61 < 2^63, so the arithmetic never
+    overflows int64 in any engine (DuckDB raises on overflow; Spark wraps
+    — staying under 2^63 keeps them identical)."""
+    if portable:
+        m = F.md5(c)
+        h1 = F.conv(F.substring(m, 1, 14), 16, 10).cast("long")
+        h2 = F.conv(F.substring(m, 17, 14), 16, 10).cast("long")
+    else:
+        h1 = F.shiftrightunsigned(F.xxhash64(c, F.lit(1)), 8)
+        h2 = F.shiftrightunsigned(F.xxhash64(c, F.lit(2)), 8)
+    return h1, h2
 
 
 def shingle_sets(
@@ -112,11 +130,18 @@ def minhash_signature_from_sets(
     lambda body, so a 32-seed transform re-computes it 32x (measured 100x+
     blowup with downstream banding). The aggregate form stays
     whole-stage-codegen'd and partial aggregation collapses each doc's
-    shingles map-side before any shuffle."""
+    shingles map-side before any shuffle.
+
+    The k families are Kirsch-Mitzenmacher-derived (see hash_pair): each
+    shingle is hashed ONCE (md5) or twice (xxhash64), and family i is the
+    arithmetic h1 + i*h2 — hashing cost is O(shingles), not
+    O(shingles * k)."""
     sh = sets.select("doc_id", F.explode("sh").alias("_s"))
+    h1, h2 = hash_pair(F.col("_s"), portable)
+    sh = sh.select("doc_id", h1.alias("_h1"), h2.alias("_h2"))
     per_doc = sh.groupBy("doc_id").agg(
         *[
-            F.min(_shingle_hash(F.col("_s"), seed, portable)).alias(f"_h{seed}")
+            F.min(F.col("_h1") + F.lit(seed) * F.col("_h2")).alias(f"_h{seed}")
             for seed in range(num_hashes)
         ]
     )
@@ -136,6 +161,46 @@ def minhash_signature(
     return minhash_signature_from_sets(
         shingle_sets(docs, text_col, shingle_n), num_hashes, portable
     )
+
+
+def minhash_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    portable: bool = False,
+    materialize: bool = True,
+) -> DataFrame:
+    """doc_id + HASHED shingle set (array<long>) + MinHash signature, in
+    ONE aggregation pass and one materialization.
+
+    Two scale/latency wins over the sets-then-signatures pipeline:
+      * the dedup working set is arrays of int64 shingle hashes, not
+        shingle strings — ~5-10x smaller to store, shuffle and intersect
+        (Jaccard on 56-bit hashes equals Jaccard on strings up to a
+        ~1e-12 within-doc collision probability, and the DuckDB oracle
+        hashes identically so parity is exact either way);
+      * one explode -> one groupBy -> one checkpoint instead of two
+        checkpointed stages; at bench scale this halves fixed cost (jobs,
+        plan compiles), at 100 TB it is one pass over the token stream.
+
+    collect_set carries the distinct hash set; the signature mins ride the
+    same (already Object-hash) aggregation for free."""
+    sh = docs.select("doc_id", F.explode(shingles(tokens(text_col), shingle_n)).alias("_s"))
+    h1, h2 = hash_pair(F.col("_s"), portable)
+    sh = sh.select("doc_id", h1.alias("_h1"), h2.alias("_h2"))
+    prof = sh.groupBy("doc_id").agg(
+        F.collect_set("_h1").alias("sh"),
+        *[
+            F.min(F.col("_h1") + F.lit(seed) * F.col("_h2")).alias(f"_h{seed}")
+            for seed in range(num_hashes)
+        ],
+    ).select(
+        "doc_id",
+        "sh",
+        F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+    return prof.localCheckpoint(eager=True) if materialize else prof
 
 
 def _band_hashes(num_hashes: int, bands: int, portable: bool) -> Column:
@@ -250,15 +315,16 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: signature -> banded candidates ->
     exact Jaccard verification on candidates only.
 
-    Shingle sets and signatures are each computed ONCE and materialized;
-    round 1 ran the tokenize->shingle->32-min pipeline three times (both
-    self-join sides + verify) — 158s at sf0.1, now bounded by one pass."""
-    sets = shingle_sets(docs, text_col, shingle_n, materialize=True)
-    sigs = minhash_signature_from_sets(
-        sets, num_hashes, portable
-    ).localCheckpoint(eager=True)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes, portable, max_bucket)
-    return jaccard_verify_sets(sets, cands, threshold)
+    Hashed shingle sets + signatures are computed in ONE materialized pass
+    (minhash_profile); round 1 ran the tokenize->shingle->32-min pipeline
+    three times (both self-join sides + verify) — 158s at sf0.1, now
+    bounded by one pass over the token stream."""
+    prof = minhash_profile(docs, text_col, num_hashes, shingle_n, portable)
+    cands = lsh_candidate_pairs(
+        prof.select("doc_id", "signature"), bands, num_hashes, portable,
+        max_bucket,
+    )
+    return jaccard_verify_sets(prof.select("doc_id", "sh"), cands, threshold)
 
 
 # ---------------------------------------------------------------- SimHash

@@ -761,18 +761,28 @@ _MH_SETS_CTE = """
 t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
   FROM documents
-), s AS (
+), s0 AS (
   SELECT doc_id,
-         list_distinct(CASE WHEN len(toks) >= 3
+         CASE WHEN len(toks) >= 3
               THEN [array_to_string(toks[i:i+2], ' ')
                     for i in generate_series(1, len(toks) - 2)]
               ELSE [array_to_string(toks, ' ')]
-         END) AS sh
+         END AS sh0
   FROM t
+), s AS (
+  -- hashed shingle SETS (56-bit md5 halves), matching minhash_profile:
+  -- Jaccard runs over int64 hash sets on both sides
+  SELECT doc_id,
+         list_distinct([('0x' || substr(md5(e), 1, 14))::BIGINT
+                        for e in sh0]) AS sh
+  FROM s0
 )"""
 
+# Kirsch-Mitzenmacher families over ONE md5 per shingle (h1 + i*h2, both
+# 56-bit halves of the same digest) — mirrors functions/text.py hash_pair
 _MH_SIG_COLS = ",\n         ".join(
-    "list_min([('0x' || substr(md5('%d:' || e), 1, 15))::BIGINT for e in sh])"
+    "list_min([('0x' || substr(md5(e), 1, 14))::BIGINT"
+    " + %d * ('0x' || substr(md5(e), 17, 14))::BIGINT for e in sh0])"
     " AS h%d" % (seed, seed)
     for seed in range(32)
 )
@@ -792,7 +802,7 @@ ORACLE_MINHASH = f"""
 WITH {_MH_SETS_CTE}, sig AS (
   SELECT doc_id,
          {_MH_SIG_COLS}
-  FROM s
+  FROM s0
 ), banded AS (
 {_MH_BAND_ROWS}
 ), cand AS (
