@@ -25,6 +25,8 @@ def _spark(args):
 
 
 def cmd_ingest(args):
+    from pyspark.sql import functions as F
+
     from .synth import gen_transcripts
 
     spark = _spark(args)
@@ -34,7 +36,13 @@ def cmd_ingest(args):
         days=args.days,
         turns_per_conv=args.turns,
     )
-    df.write.mode("overwrite").partitionBy().parquet(args.out)
+    # Bronze is DATE-partitioned — the engine's analogue of the
+    # reference's YYYY/DOY image tree (save_ncs_from_nc,
+    # reference extract.py:110-226): a ts-range scan of bronze prunes
+    # whole day directories (PartitionFilters) instead of reading the
+    # full table, and incremental extends append only new day partitions.
+    df = df.withColumn("ds", F.to_date("ts"))
+    df.write.mode("overwrite").partitionBy("ds").parquet(args.out)
     print(f"wrote {df.count()} bronze rows to {args.out}")
 
 
@@ -129,7 +137,12 @@ def main(argv=None):
     s.add_argument("--n-cells", type=int, default=64)
     s.add_argument(
         "--salt-segment-hours", type=int, default=None,
-        help="split hot convs into ts segments of this size (skew salt)",
+        help="split hot convs into ts segments of this size (skew salt). "
+        "NOTE: dedup correctness with salting assumes duplicate/revised "
+        "turns share their event ts (the reference's ERA5 vs ERA5-T "
+        "shape — two files, same timestamp); duplicates with REVISED ts "
+        "in different segments would both survive. Leave unset if your "
+        "duplicates can carry changed timestamps.",
     )
     s.set_defaults(fn=cmd_reshuffle)
 

@@ -271,6 +271,7 @@ def pack_cells_stream(
 
     def _pack_stream(batches):
         carry = None
+        last_key = None  # (cell_id, conv_id) of the last COMPLETED run
         for pdf in batches:
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
@@ -278,12 +279,36 @@ def pack_cells_stream(
             if not len(pdf):
                 continue
             bounds = _runs(pdf)
+            # Layout precondition guard: runs must arrive clustered —
+            # each (cell_id, conv_id) exactly once per partition. A key
+            # regression means the caller broke the contract (e.g. passed
+            # a re-read/re-partitioned silver instead of the in-plan
+            # reshuffle) and rows of one conv would silently fragment
+            # into duplicate packed rows. Strictly-increasing keys catch
+            # both regressions and repeats (ASCII keys: pandas/Java
+            # string order agree).
+            for i in range(len(bounds) - 2):
+                key = (pdf["cell_id"].iat[bounds[i]], pdf["conv_id"].iat[bounds[i]])
+                if last_key is not None and key <= last_key:
+                    raise ValueError(
+                        "pack_cells_stream: (cell_id, conv_id) run order "
+                        f"regressed ({last_key} -> {key}); input must be "
+                        "the reshuffle's own clustered+sorted output — "
+                        "use pack_cells() for arbitrary layouts"
+                    )
+                last_key = key
             # last run may continue in the next batch -> carry it
             carry = pdf.iloc[bounds[-2]:].reset_index(drop=True)
             rows = _encode_runs(pdf, bounds, len(bounds) - 2)
             if rows:
                 yield pd.DataFrame(rows)
         if carry is not None and len(carry):
+            key = (carry["cell_id"].iat[0], carry["conv_id"].iat[0])
+            if last_key is not None and key <= last_key:
+                raise ValueError(
+                    "pack_cells_stream: (cell_id, conv_id) run order "
+                    f"regressed ({last_key} -> {key})"
+                )
             yield pd.DataFrame(
                 _encode_runs(carry, [0, len(carry)], 1)
             )
@@ -302,18 +327,28 @@ def unpack_cells(packed, value_cols: tuple[str, ...] = ("text_len", "tool_call")
 
     def _unpack(batches):
         for pdf in batches:
-            frames = []
-            for _, r in pdf.iterrows():
-                ts = decode_timestamps(r["ts_blob"]).astype("datetime64[us]")
-                d = {
-                    "cell_id": np.full(len(ts), r["cell_id"], dtype=np.int32),
-                    "conv_id": np.full(len(ts), r["conv_id"], dtype=object),
-                    "ts": ts,
-                }
-                for c in value_cols:
-                    d[c] = decode_values_f32(r[f"{c}_blob"])
-                frames.append(pd.DataFrame(d))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            # columns -> numpy ONCE per batch (no iterrows: each packed
+            # row is a whole conversation, so per-row pandas overhead
+            # would scale with conv count, not data size)
+            cells = pdf["cell_id"].to_numpy()
+            convs = pdf["conv_id"].to_numpy()
+            ts_blobs = pdf["ts_blob"].to_numpy()
+            val_blobs = {c: pdf[f"{c}_blob"].to_numpy() for c in value_cols}
+            ts_parts = [decode_timestamps(b) for b in ts_blobs]
+            lens = np.array([len(t) for t in ts_parts])
+            d = {
+                "cell_id": np.repeat(cells, lens).astype(np.int32),
+                "conv_id": np.repeat(convs, lens),
+                "ts": np.concatenate(ts_parts).astype("datetime64[us]")
+                if ts_parts
+                else np.empty(0, "datetime64[us]"),
+            }
+            for c in value_cols:
+                d[c] = np.concatenate(
+                    [decode_values_f32(b) for b in val_blobs[c]]
+                )
+            yield pd.DataFrame(d)
 
     return packed.mapInPandas(_unpack, schema=schema)

@@ -61,6 +61,55 @@ def coalesce_versions(
     return df.withColumn(out, F.coalesce(F.col(final_col), F.col(prelim_col)))
 
 
+def _ref_agg(df: DataFrame, value_col: str):
+    """Order-independent mean: sum carried as decimal(38,18) (associative),
+    divided by count at the edge."""
+    return F.sum(F.col(value_col).cast("decimal(38,18)")).cast(
+        "double"
+    ) / F.count(value_col)
+
+
+def derive_entity_mask(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 0.5,
+    exclude_zone=None,
+) -> DataFrame:
+    """A3/P5 landmask DERIVATION: build the active-entity mask dimension
+    from a reference metric in the data itself — the graft of
+    make_era5_land_definition_file (reference utils.py:179-256): per grid
+    point, land = 1.0 where ref_var >= threshold else 0.0, and the
+    Antarctica band (lat < -60) forced to NaN.
+
+    Here the grid point is an entity key (user/conv/cell), the reference
+    variable is the key's mean metric (the lsm land fraction analogue),
+    and exclude_zone is an arbitrary boolean Column marking the cut-off
+    band -> NULL mask. One hash aggregate, map-side combinable; the
+    resulting dimension is tiny (one row per entity) and feeds
+    subgrid_gather / mask_by_flag as the broadcast side.
+
+    The mean is computed as sum(decimal)/count, not avg(double): decimal
+    addition is associative, so a key whose mean sits exactly on the
+    threshold cannot flip between 1.0 and 0.0 with partitioning (the
+    mask must be a DETERMINISTIC artifact — the reference writes it to a
+    definition file once and every later run depends on it)."""
+    agg = df.groupBy(key_col).agg(_ref_agg(df, value_col).alias("_ref"))
+    mask = F.when(F.col("_ref") >= threshold, 1.0).otherwise(0.0)
+    if exclude_zone is not None:
+        mask = F.when(exclude_zone, F.lit(None).cast("double")).otherwise(
+            mask
+        )
+    return agg.select(key_col, mask.alias("land"))
+
+
+def active_keys(mask: DataFrame, key_col: str) -> DataFrame:
+    """P5 land-grid construction: the subgrid of active entities (the
+    reference builds its land grid from mask==1 cells,
+    utils.py:179-256 + grid.py land_points)."""
+    return mask.where(F.col("land") == 1.0).select(key_col)
+
+
 def ensure_columns(
     df: DataFrame, required: dict[str, str], warn: bool = True
 ) -> DataFrame:

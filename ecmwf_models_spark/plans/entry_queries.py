@@ -855,6 +855,92 @@ FROM s
 """
 
 
+# ------------------------------------------- landmask derivation (A3/P5)
+
+def q_landmask_derive(spark, sf_dir):
+    """A3/P5: derive the active-entity mask dimension from the data
+    (operators/masking.py derive_entity_mask; reference
+    make_era5_land_definition_file utils.py:179-256): land=1.0 where the
+    per-user mean metric >= threshold, the excluded band (the lat<-60
+    Antarctica cut) -> NULL."""
+    from ..operators.masking import derive_entity_mask
+
+    ev = _t(spark, sf_dir, "events")
+    return derive_entity_mask(
+        ev,
+        "user_id",
+        "value",
+        threshold=49.0,
+        exclude_zone=F.col("user_id") % 10 >= 8,
+    )
+
+
+ORACLE_LANDMASK = """
+WITH a AS (
+  SELECT user_id, {s} / count(value) AS ref
+  FROM events GROUP BY 1
+)
+SELECT user_id,
+       CASE WHEN user_id % 10 >= 8 THEN NULL
+            WHEN ref >= 49.0 THEN 1.0 ELSE 0.0 END AS land
+FROM a
+""".format(s=_dsum("value"))
+
+
+# ------------------------------------------------- LUT resolution (P2)
+
+_LUT_REQUEST = [
+    "text_length",              # dl_name
+    "Tool call indicator",      # long_name
+    "n_turns",                  # short_name
+    "bucket_ts",                # short_name
+    "conversation_identifier",  # dl_name
+]
+
+
+def q_lut_resolve(spark, sf_dir):
+    """P2 name-resolution LUT: resolve a mixed dl/long/short request list
+    through the broadcast alias table (functions/lut.py resolve_names;
+    reference utils.py:92-144 lookup + era5_lut.csv)."""
+    from ..functions import lut as LUT
+
+    return LUT.resolve_names(spark, _LUT_REQUEST).select(
+        "requested", "matched_kind", "dl_name", "long_name", "short_name",
+        "is_default",
+    )
+
+
+def _oracle_lut_resolve() -> str:
+    from ..functions import lut as LUT
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    lut_values = ",\n    ".join(
+        f"({q(r['dl_name'])}, {q(r['long_name'])}, {q(r['short_name'])},"
+        f" {int(r['default'])})"
+        for r in LUT.load_var_table()
+    )
+    req_values = ", ".join(f"({q(n)})" for n in _LUT_REQUEST)
+    return f"""
+WITH lut(dl_name, long_name, short_name, is_default) AS (VALUES
+    {lut_values}
+), req(requested) AS (VALUES {req_values}),
+aliases AS (
+  SELECT dl_name, long_name, short_name, is_default,
+         'dl_name' AS matched_kind, dl_name AS alias FROM lut
+  UNION ALL
+  SELECT dl_name, long_name, short_name, is_default,
+         'long_name', long_name FROM lut
+  UNION ALL
+  SELECT dl_name, long_name, short_name, is_default,
+         'short_name', short_name FROM lut
+)
+SELECT requested, matched_kind, dl_name, long_name, short_name, is_default
+FROM req LEFT JOIN aliases ON requested = alias
+"""
+
+
 # -------------------------------------------- non-SQL-expressible (rows only)
 
 
@@ -895,6 +981,8 @@ QUERIES = {
     "embedding_norms": q_embedding_norms,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_docs": q_simhash_docs,
+    "lut_resolve": q_lut_resolve,
+    "landmask_derive": q_landmask_derive,
     "ann_topk_lsh": q_ann_topk_lsh,
 }
 
@@ -925,6 +1013,8 @@ ORACLES = {
     "embedding_norms": ORACLE_EMB_NORMS,
     "minhash_lsh_pairs": ORACLE_MINHASH,
     "simhash_docs": ORACLE_SIMHASH,
+    "lut_resolve": _oracle_lut_resolve(),
+    "landmask_derive": ORACLE_LANDMASK,
     # ann_topk_lsh: approximate by construction (hyperplane LSH buckets
     # from float dot products — not portably reproducible); rows-only
 }

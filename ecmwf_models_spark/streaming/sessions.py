@@ -79,11 +79,16 @@ def make_sessionizer(gap_hours: float = 6.0):
         seg_starts = np.flatnonzero(new_session)
 
         if len(seg_starts) == 0:
-            # everything extends the open session
+            # everything extends the open session; last_us is monotone
+            # (max guard) so an out-of-order batch cannot move the gap
+            # reference point backwards and mis-split a later batch
+            new_last = int(ts[-1]) if last_us is None else max(
+                int(ts[-1]), int(last_us)
+            )
             state.update(
                 (
                     int(start_us),
-                    int(ts[-1]),
+                    new_last,
                     int(n_turns + len(ts)),
                     float(tl_sum + tl.sum()),
                 )
@@ -122,9 +127,24 @@ def make_sessionizer(gap_hours: float = 6.0):
 
 
 def sessionize_stream(bronze_stream, gap_hours: float = 6.0):
-    """bronze turn stream -> closed-session stream (append mode)."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
+    """bronze turn stream -> closed-session stream (append mode).
 
+    Preliminary rows are dropped up front (same final-over-preliminary
+    invariant as hourly_stream_rollup and the batch reshuffle): a prelim
+    duplicate of an already-seen turn would otherwise inflate
+    n_turns/text_len_sum with sentinel PRELIM text.
+
+    Ordering: gap detection sorts within the batch, and the state guard
+    below never moves last_us backward, so a late batch can extend but
+    never corrupt an open session. True event-time lateness handling
+    (reordering across sessions) belongs to the watermarked rollup path."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    import pyspark.sql.functions as F
+
+    if "is_prelim" in bronze_stream.columns:
+        bronze_stream = bronze_stream.where(
+            ~F.coalesce(F.col("is_prelim"), F.lit(False))
+        )
     return bronze_stream.groupBy("conv_id").applyInPandasWithState(
         make_sessionizer(gap_hours),
         outputStructType=SESSION_SCHEMA,

@@ -42,6 +42,25 @@ def test_subgrid_gather(spark, bronze):
     assert out.count() < bronze.count()
 
 
+def test_derive_entity_mask(spark):
+    """A3/P5 landmask derivation: threshold on the per-key mean, excluded
+    zone -> NULL (make_era5_land_definition_file semantics)."""
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.7), (2, 0.1), (2, 0.2), (90, 0.9), (91, 0.0)],
+        ["key", "lsm"],
+    )
+    mask = M.derive_entity_mask(
+        df, "key", "lsm", threshold=0.5, exclude_zone=F.col("key") >= 90
+    )
+    got = {r["key"]: r["land"] for r in mask.collect()}
+    assert got[1] == 1.0          # mean 0.8 >= 0.5 -> land
+    assert got[2] == 0.0          # mean 0.15 < 0.5 -> sea
+    assert got[90] is None and got[91] is None  # Antarctica band -> NULL
+    # the active subgrid keeps only land==1 keys
+    active = {r["key"] for r in M.active_keys(mask, "key").collect()}
+    assert active == {1}
+
+
 def test_coalesce_versions(spark):
     df = spark.createDataFrame(
         [(1, 5.0, 3.0), (2, None, 7.0), (3, None, None)],

@@ -107,6 +107,21 @@ def test_pack_rides_reshuffle_partitioning(bronze):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_bronze_sink_prunes_date_partitions(bronze, tmp_path):
+    """S5 stack-splitting sink: bronze is date-partitioned (the YYYY/DOY
+    image tree of reference extract.py:110-226), so a ts-range scan must
+    prune day directories via PartitionFilters on ds."""
+    path = str(tmp_path / "bronze_ds")
+    spark = bronze.sparkSession
+    bronze.withColumn("ds", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("ds").parquet(path)
+    df = spark.read.parquet(path).where(F.col("ds") == "2010-01-02")
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "ds" in pf, plan
+
+
 def test_gapfill_reuses_conv_shuffle(bronze):
     """gap_fill: per-bucket agg, span agg, and the left join all key on
     conv_id... — the span branch must reuse the per-bucket aggregate's
