@@ -47,6 +47,7 @@ def cmd_ingest(args):
 
 
 def cmd_reshuffle(args):
+    from .lineage import write_run_settings
     from .operators.reshuffle import reshuffle, write_silver
 
     spark = _spark(args)
@@ -57,6 +58,16 @@ def cmd_reshuffle(args):
         salt_segment_hours=args.salt_segment_hours,
     )
     write_silver(silver, args.out)
+    # the overview.yml parameter block: extend/read resume with THESE
+    # kwargs unless explicitly overridden (reference reshuffle.py:280-295)
+    write_run_settings(
+        spark,
+        f"{args.out}/_settings",
+        {
+            "n_cells": args.n_cells,
+            "salt_segment_hours": args.salt_segment_hours,
+        },
+    )
     print(f"silver written to {args.out}")
 
 
@@ -99,10 +110,15 @@ def cmd_extend(args):
 
 
 def cmd_read(args):
+    from .lineage import read_run_settings
     from .operators.pointread import TsReader
 
     spark = _spark(args)
-    r = TsReader(spark, args.silver, n_cells=args.n_cells)
+    n_cells = args.n_cells
+    if n_cells is None:
+        stored = read_run_settings(spark, f"{args.silver}/_settings")
+        n_cells = int(stored.get("n_cells", 64))
+    r = TsReader(spark, args.silver, n_cells=n_cells)
     pdf = r.read(args.conv_id)
     print(pdf.to_string())
 
@@ -156,13 +172,20 @@ def main(argv=None):
     s = sub.add_parser("extend")
     s.add_argument("--silver", required=True)
     s.add_argument("--bronze", required=True)
-    s.add_argument("--n-cells", type=int, default=64)
+    s.add_argument(
+        "--n-cells", type=int, default=None,
+        help="default: the value persisted at reshuffle time "
+        "(<silver>/_settings); pass explicitly to override",
+    )
     s.set_defaults(fn=cmd_extend)
 
     s = sub.add_parser("read")
     s.add_argument("--silver", required=True)
     s.add_argument("--conv-id", required=True)
-    s.add_argument("--n-cells", type=int, default=64)
+    s.add_argument(
+        "--n-cells", type=int, default=None,
+        help="default: the value persisted at reshuffle time",
+    )
     s.set_defaults(fn=cmd_read)
 
     s = sub.add_parser("bench")

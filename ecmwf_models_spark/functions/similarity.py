@@ -128,6 +128,64 @@ def ann_topk_lsh(
     )
 
 
+def write_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the ANN index: the embedding table WRITTEN partitioned
+    by lsh_bucket. At query time the probe set becomes PARTITION PRUNING
+    (directory-level skip, asserted in tests/test_plans.py) instead of a
+    full-scan filter — the difference between O(buckets_probed/2^n_planes
+    of the data) and O(all data) I/O per query at 100 TB. Repartitioning
+    by bucket before the write keeps one writer per bucket partition
+    (no small-file explosion at cluster scale)."""
+    b = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
+    (
+        b.repartition("lsh_bucket")
+        .write.mode("overwrite")
+        .partitionBy("lsh_bucket")
+        .parquet(path)
+    )
+
+
+def ann_topk_lsh_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the materialized index: identical semantics to ann_topk_lsh
+    but the bucket probe list prunes PARTITIONS of the written table."""
+    qb = _bucket_of(query_vec, n_planes)
+    probes = [qb]
+    if multiprobe_hamming >= 1:
+        probes += [qb ^ (1 << i) for i in range(n_planes)]
+    if multiprobe_hamming >= 2:
+        probes += [
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(index_path)
+        .where(F.col("lsh_bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

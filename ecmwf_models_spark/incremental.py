@@ -32,7 +32,7 @@ def extend_silver(
     spark: SparkSession,
     silver_path: str,
     new_bronze: DataFrame,
-    n_cells: int = DEFAULT_N_CELLS,
+    n_cells: int | None = None,
 ) -> list[int]:
     """Merge a new bronze batch into the silver table.
 
@@ -41,7 +41,18 @@ def extend_silver(
     (latest-final-wins upsert on (conv_id, turn_idx) — the ERA5-T revision
     policy as upsert), re-sorted, and the cell partitions dynamically
     overwritten. Returns the affected cell ids.
+
+    Run-kwargs contract (reference era5/reshuffle.py:280-295: extend_ts
+    reads its parameters from overview.yml, explicit kwargs win): with
+    n_cells=None the value persisted at reshuffle time
+    (<silver>/_settings) is used, so callers cannot accidentally extend
+    with a mismatched cell grid; passing n_cells explicitly overrides.
     """
+    from .lineage import read_run_settings
+
+    if n_cells is None:
+        stored = read_run_settings(spark, f"{silver_path}/_settings")
+        n_cells = int(stored.get("n_cells", DEFAULT_N_CELLS))
     new_silverish = reshuffle(new_bronze, n_cells=n_cells)
     affected = [
         r[0] for r in new_silverish.select("cell_id").distinct().collect()

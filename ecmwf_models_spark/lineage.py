@@ -70,6 +70,45 @@ def cell_stats(df: DataFrame) -> DataFrame:
     )
 
 
+SETTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("job_id", T.StringType()),
+        T.StructField("committed_at", T.DoubleType()),
+    ]
+)
+
+
+def write_run_settings(
+    spark: SparkSession, path: str, settings: dict, job_id: str | None = None
+) -> None:
+    """Persist the run kwargs next to the table they produced — the
+    overview.yml parameter block (reference utils.py:365-409; consumed by
+    extend_ts so a later `update_ts` needs no re-supplied parameters,
+    era5/reshuffle.py:280-295). Underscore-prefixed dir, so Spark scans
+    of the data ignore it. Append-only; latest committed_at wins."""
+    job_id = job_id or uuid.uuid4().hex[:12]
+    now = time.time()
+    rows = [(k, str(v), job_id, now) for k, v in settings.items() if v is not None]
+    spark.createDataFrame(rows, SETTINGS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def read_run_settings(spark: SparkSession, path: str) -> dict:
+    """Latest persisted value per key (as strings; callers cast)."""
+    if not os.path.exists(path):
+        return {}
+    df = spark.read.schema(SETTINGS_SCHEMA).parquet(path)
+    rows = (
+        df.groupBy("key")
+        .agg(F.max_by("value", "committed_at").alias("value"))
+        .collect()
+    )  # bounded: a handful of kwargs
+    return {r["key"]: r["value"] for r in rows}
+
+
 class ResumableTierWriter:
     """Write a cell-partitioned tier with per-cell lineage + resume.
 

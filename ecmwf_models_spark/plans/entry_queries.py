@@ -855,6 +855,69 @@ FROM s
 """
 
 
+# --------------------------------------------- weighted remap (A1 var.)
+
+def _portable_cell(col, n=64):
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(n),
+    ).cast("int")
+
+
+def q_remap_weighted(spark, sf_dir):
+    """A1 variant: conservative weighted remap of the 64-cell grid onto a
+    24-cell grid with a reusable broadcast weights table
+    (operators/remap.py; reference extract.py:150-160,204-213 cdo
+    gencon+remap with weight reuse). 64->24 does not divide evenly, so
+    boundary cells genuinely split across two targets."""
+    from ..operators.remap import conservative_weights_1d, remap_weighted
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cell_id", _portable_cell(F.col("user_id"))
+    )
+    w = conservative_weights_1d(spark, 64, 24)
+    out = remap_weighted(ev, w, ("value",))
+    return out.select(
+        "dst_cell",
+        R6(F.col("value_remap")).alias("value_remap"),
+        R6(F.col("w_sum")).alias("w_sum"),
+    )
+
+
+def _oracle_remap() -> str:
+    # the SAME weights as conservative_weights_1d(64, 24), inlined:
+    # repr(float) round-trips to the identical IEEE double in DuckDB
+    rows = []
+    n_src, n_dst = 64, 24
+    for i in range(n_src):
+        lo, hi = i / n_src, (i + 1) / n_src
+        j0 = int(lo * n_dst)
+        j1 = min(int(hi * n_dst - 1e-12), n_dst - 1)
+        for j in range(j0, j1 + 1):
+            overlap = max(0.0, min(hi, (j + 1) / n_dst) - max(lo, j / n_dst))
+            wv = overlap * n_src
+            if wv > 0:
+                rows.append(f"({i}, {j}, {wv!r})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH w(src_cell, dst_cell, wt) AS (VALUES
+    {values}
+), f AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+              % 64 AS INTEGER) AS cell_id,
+         value
+  FROM events
+)
+SELECT dst_cell,
+       round({_dsum('wt * value')}, 6) AS value_remap,
+       round({_dsum('wt')}, 6) AS w_sum
+FROM f JOIN w ON f.cell_id = w.src_cell
+GROUP BY 1
+"""
+
+
 # ------------------------------------------- landmask derivation (A3/P5)
 
 def q_landmask_derive(spark, sf_dir):
@@ -945,13 +1008,50 @@ FROM req LEFT JOIN aliases ON requested = alias
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k (bucket ids from deterministic
-    hyperplanes; approximate by construction, no SQL oracle)."""
+    """LSH-bucketed approximate top-k: bucket ids from deterministic
+    hyperplanes (inlined into the DuckDB oracle as literals, so the FULL
+    approximate pipeline — bucketing, hamming<=2 multiprobe, cosine
+    ranking — reproduces bit-for-bit)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
     return SIM.ann_topk_lsh(emb, qvec, k=10, n_planes=6, multiprobe_hamming=2)
+
+
+def _oracle_ann_lsh(n_planes: int = 6, dim: int = 64) -> str:
+    """Inline the SAME deterministic hyperplanes (similarity._hyperplane)
+    as SQL literals; bucket membership and multiprobe are then pure
+    arithmetic DuckDB reproduces exactly (multiprobe hamming<=2 ==
+    bit_count(xor(bucket, query_bucket)) <= 2)."""
+    from ..functions.similarity import _hyperplane
+
+    planes = [_hyperplane(dim, i) for i in range(n_planes)]
+    plane_lits = ",\n    ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, pl[{i + 1}]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH p AS (SELECT [
+    {plane_lits}
+] AS pl),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
+  FROM embeddings, p
+),
+q AS (SELECT e AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(e, qv)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))),
+             6) AS cos_sim
+FROM b, q
+WHERE bit_count(xor(bucket::BIGINT, qb::BIGINT)) <= 2
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 
 QUERIES = {
@@ -983,6 +1083,7 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "lut_resolve": q_lut_resolve,
     "landmask_derive": q_landmask_derive,
+    "remap_weighted": q_remap_weighted,
     "ann_topk_lsh": q_ann_topk_lsh,
 }
 
@@ -1015,6 +1116,6 @@ ORACLES = {
     "simhash_docs": ORACLE_SIMHASH,
     "lut_resolve": _oracle_lut_resolve(),
     "landmask_derive": ORACLE_LANDMASK,
-    # ann_topk_lsh: approximate by construction (hyperplane LSH buckets
-    # from float dot products — not portably reproducible); rows-only
+    "remap_weighted": _oracle_remap(),
+    "ann_topk_lsh": _oracle_ann_lsh(),
 }

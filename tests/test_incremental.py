@@ -84,3 +84,33 @@ def test_extend_upsert_revises_text(tmp_path, spark):
         .collect()
     )
     assert len(got) == 1 and got[0][0] == "REVISED"
+
+
+def test_extend_uses_persisted_run_kwargs(tmp_path, spark):
+    """I2 idempotent-settings contract (reference reshuffle.py:280-295):
+    extend without kwargs resumes with the reshuffle-time settings from
+    <silver>/_settings; an explicit kwarg overrides."""
+    from ecmwf_models_spark.lineage import (
+        read_run_settings,
+        write_run_settings,
+    )
+
+    initial = gen_transcripts(spark, n_conv=20, days=2, turns_per_conv=6)
+    path = str(tmp_path / "silver_kw")
+    write_silver(reshuffle(initial, n_cells=8, num_partitions=4), path)
+    write_run_settings(spark, f"{path}/_settings", {"n_cells": 8})
+
+    # settings survive dynamic-partition extends and round-trip
+    assert read_run_settings(spark, f"{path}/_settings") == {"n_cells": "8"}
+
+    later = gen_transcripts(
+        spark, n_conv=20, days=3, turns_per_conv=9
+    ).where(F.col("turn_idx") >= 6)
+    # NO n_cells passed: must pick up 8 from settings -> cell ids < 8
+    affected = extend_silver(spark, path, later)
+    assert affected and max(affected) < 8
+    assert read_run_settings(spark, f"{path}/_settings") == {"n_cells": "8"}
+
+    # a second settings write with a newer value wins (latest committed_at)
+    write_run_settings(spark, f"{path}/_settings", {"n_cells": 16})
+    assert read_run_settings(spark, f"{path}/_settings") == {"n_cells": "16"}

@@ -87,3 +87,37 @@ def test_frame_sample_and_audio(spark):
     assert (pdf["frame_idx"] % 2 == 0).all()
     aud = M.audio_window_plumbing(media, win_ms=25).toPandas()
     assert (aud["samples_per_window"] == 400).all()  # 16 kHz * 25 ms
+
+
+def test_ann_index_prunes_partitions_and_matches(spark, tmp_path, sf_dir):
+    """The materialized ANN index: (a) probe reads show PartitionFilters
+    on lsh_bucket (directory pruning, not a full-scan filter), (b) the
+    indexed query returns exactly the in-plan ann_topk_lsh result."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    path = str(tmp_path / "ann_index")
+    S.write_ann_index(emb, path, dim=len(qvec), n_planes=6)
+
+    indexed = S.ann_topk_lsh_indexed(
+        spark, path, qvec, k=10, n_planes=6, multiprobe_hamming=2
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "lsh_bucket" in pf, plan
+
+    inplan = S.ann_topk_lsh(
+        emb, qvec, k=10, n_planes=6, multiprobe_hamming=2
+    ).collect()
+    assert [tuple(r) for r in indexed.collect()] == [
+        tuple(r) for r in inplan
+    ]
