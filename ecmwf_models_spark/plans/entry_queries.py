@@ -855,6 +855,164 @@ FROM s
 """
 
 
+# ------------------------------------- scalar functions (F1-F8, P10)
+
+def q_scalar_roundtrip(spark, sf_dir):
+    """F3 filename datetime fmt, F4 template parse (with P10
+    product/kind inference), F8 round3, and the YYYY/DOY dir mapping —
+    build the reference-shaped filename from each event, parse it back,
+    and emit the parsed fields (functions/scalar.py)."""
+    from ..functions import scalar as SC
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    fname = F.concat(F.lit("ERA5_AN_"), SC.fname_ts(F.col("ts")), F.lit(".nc"))
+    df = ev.select("event_id", fname.alias("fname"), "ts", "value")
+    parsed = SC.parse_fname(F.col("fname"))
+    return df.select(
+        "event_id",
+        "fname",
+        parsed["product"].alias("product"),
+        parsed["kind"].alias("kind"),
+        _fmt(parsed["ts"]).alias("ts_parsed"),
+        parsed["ext"].alias("ext"),
+        SC.doy_dir(F.col("ts")).alias("doy_dir"),
+        SC.round3(F.col("value")).alias("value3"),
+    )
+
+
+ORACLE_SCALAR = r"""
+WITH f AS (
+  SELECT event_id, 'ERA5_AN_' || strftime(ts, '%Y%m%d_%H%M') || '.nc' AS fname,
+         ts, value
+  FROM events WHERE user_id < 10
+)
+SELECT event_id, fname,
+       regexp_extract(fname, '^([A-Z0-9-]+)_([A-Z]+)_(\d{8}_\d{4})\.(\w+)$', 1)
+         AS product,
+       regexp_extract(fname, '^([A-Z0-9-]+)_([A-Z]+)_(\d{8}_\d{4})\.(\w+)$', 2)
+         AS kind,
+       strftime(strptime(regexp_extract(fname,
+           '^([A-Z0-9-]+)_([A-Z]+)_(\d{8}_\d{4})\.(\w+)$', 3),
+           '%Y%m%d_%H%M'), '%Y-%m-%d %H:%M:%S') AS ts_parsed,
+       regexp_extract(fname, '^([A-Z0-9-]+)_([A-Z]+)_(\d{8}_\d{4})\.(\w+)$', 4)
+         AS ext,
+       strftime(ts, '%Y') || '/' || lpad(CAST(dayofyear(ts) AS VARCHAR), 3, '0')
+         AS doy_dir,
+       round(value, 3) AS value3
+FROM f
+"""
+
+
+def q_float_axes(spark, sf_dir):
+    """F2/O2 float-precise axis construction (functions/scalar.py
+    safe_sequence: integer arithmetic over scaled values) + O3 grid
+    resolution: every step must be EXACTLY the nominal resolution."""
+    from ..functions import scalar as SC
+
+    ax = spark.range(1).select(
+        F.posexplode(SC.safe_sequence(-3.0, 3.0, 0.25)).alias("i", "x")
+    )
+    w = Window.orderBy("i")
+    return ax.select(
+        F.col("i").cast("long").alias("i"),
+        "x",
+        (
+            (F.col("i") == 0)
+            | (F.col("x") - F.lag("x").over(w) == F.lit(0.25))
+        ).alias("step_ok"),
+    )
+
+
+ORACLE_FLOAT_AXES = """
+WITH ax AS (
+  SELECT CAST(row_number() OVER (ORDER BY i) - 1 AS BIGINT) AS i,
+         i / 1000000.0 AS x
+  FROM generate_series(-3000000, 2999999, 250000) t(i)
+)
+SELECT i, x,
+       (i = 0 OR (x - lag(x) OVER (ORDER BY i)) = 0.25) AS step_ok
+FROM ax
+"""
+
+
+def q_mask_and_fill(spark, sf_dir):
+    """P3 sea-point masking (value NULLed where the flag condition fails,
+    operators/masking.py mask_by_flag) + P9 missing-variable fill
+    (ensure_columns: absent column -> typed all-NULL column): per
+    event_type, rows kept after masking and the filled column's
+    non-null count (must be 0)."""
+    import warnings
+
+    from ..operators.masking import ensure_columns, mask_by_flag
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "flag", (F.col("event_type") != "click").cast("int")
+    )
+    masked = mask_by_flag(ev, ["value"], "flag")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        filled = ensure_columns(masked, {"quality": "double"})
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_kept"),
+        F.count("quality").alias("n_filled"),
+    )
+
+
+ORACLE_MASK_FILL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(CASE WHEN event_type != 'click' THEN value END) AS n_kept,
+       count(CAST(NULL AS DOUBLE)) AS n_filled
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------ codec roundtrip (UDF surface, S9)
+
+def q_codec_roundtrip(spark, sf_dir):
+    """Gorilla XOR + delta-of-delta codec END-TO-END through the Arrow
+    UDF surface (codec.pack_cells applyInPandas -> unpack_cells
+    mapInPandas): events become per-user series, are packed to blobs,
+    unpacked again, and re-aggregated. The oracle aggregates the SAME
+    stats from the raw table — any bit error in 5000 encoded
+    timestamps/values would break the per-cell micro-sums / epoch
+    bounds. float32 storage contract applied at the edge like silver."""
+    from .. import codec
+
+    ev = _t(spark, sf_dir, "events")
+    silver_ish = ev.select(
+        _portable_cell(F.col("user_id"), 8).alias("cell_id"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        F.col("value").cast("float").alias("value"),
+    )
+    packed = codec.pack_cells(silver_ish, value_cols=("value",))
+    unpacked = codec.unpack_cells(packed, value_cols=("value",))
+    return unpacked.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            F.floor(F.col("value").cast("double") * 1e6 + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("v_micro_sum"),
+        F.min(F.unix_micros("ts")).alias("ts_min_us"),
+        F.max(F.unix_micros("ts")).alias("ts_max_us"),
+    )
+
+
+ORACLE_CODEC_ROUNDTRIP = """
+SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 8
+            AS INTEGER) AS cell_id,
+       count(*) AS n_points,
+       CAST(sum(CAST(floor(CAST(value::FLOAT AS DOUBLE) * 1e6 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS v_micro_sum,
+       min(epoch_us(ts)) AS ts_min_us,
+       max(epoch_us(ts)) AS ts_max_us
+FROM events GROUP BY 1
+"""
+
+
 # --------------------------------------------- weighted remap (A1 var.)
 
 def _portable_cell(col, n=64):
@@ -1084,6 +1242,10 @@ QUERIES = {
     "lut_resolve": q_lut_resolve,
     "landmask_derive": q_landmask_derive,
     "remap_weighted": q_remap_weighted,
+    "scalar_roundtrip": q_scalar_roundtrip,
+    "float_axes": q_float_axes,
+    "mask_and_fill": q_mask_and_fill,
+    "codec_roundtrip": q_codec_roundtrip,
     "ann_topk_lsh": q_ann_topk_lsh,
 }
 
@@ -1117,5 +1279,9 @@ ORACLES = {
     "lut_resolve": _oracle_lut_resolve(),
     "landmask_derive": ORACLE_LANDMASK,
     "remap_weighted": _oracle_remap(),
+    "scalar_roundtrip": ORACLE_SCALAR,
+    "float_axes": ORACLE_FLOAT_AXES,
+    "mask_and_fill": ORACLE_MASK_FILL,
+    "codec_roundtrip": ORACLE_CODEC_ROUNDTRIP,
     "ann_topk_lsh": _oracle_ann_lsh(),
 }
