@@ -99,7 +99,10 @@ def run_at(cpus: int, env_extra: dict, pyfiles: str) -> dict:
             "--master", f"local[{cpus}]",
             # builder-time spark.driver.memory is ignored once the JVM is
             # up; in local mode the driver IS the executor, so size it here
-            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+            # 16g heap + off-heap Tungsten (session.py): execution
+            # buffers off the GC heap — the round-2 fix for the 48g-heap
+            # GC cliff at high thread counts
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "16g"),
             "--py-files", pyfiles,
             os.path.join(HERE, "scaling_job.py"),
         ]

@@ -65,7 +65,6 @@ def regular_grid(
         "lon",
         "lat",
     )
-    n_cell_lon = int(round(360 / cellsize))
     g = g.withColumn(
         "cell",
         (
@@ -73,7 +72,6 @@ def regular_grid(
             + F.floor((F.col("lat") + 90.0) / cellsize)
         ).cast("int"),
     )
-    _ = n_cell_lon
     if bbox is not None:
         min_lon, min_lat, max_lon, max_lat = bbox
         g = g.where(
@@ -81,6 +79,67 @@ def regular_grid(
             & F.col("lat").between(min_lat, max_lat)
         )
     return g
+
+
+def nearest_join(
+    df: DataFrame,
+    grid_dim: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    coord_col: str = "coord",
+    id_col: str = "gpi",
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """J1 for INEXACT keys: join every row to the NEAREST node of a (possibly
+    irregular) 1-D grid — the reference's kd-tree lookup
+    (interface.py:146-148 find_nearest_gpi) as a bucketed band join:
+
+      1. bucket width >= the grid's max node spacing (computed from the
+         dim if not given — one tiny aggregate), so the nearest node is
+         ALWAYS in the probe's own bucket or an adjacent one;
+      2. the GRID side (small) is exploded to buckets {b-1, b, b+1} and
+         broadcast — each fact row meets <= 3 buckets' nodes, never the
+         whole grid (no cross join, no kd-tree to ship);
+      3. argmin |coord - value| per row via one aggregate min(struct(dist,
+         gpi)) — deterministic ties (lower gpi wins), no window.
+
+    At 100 TB this is a broadcast hash join + a partial-aggregating
+    hash aggregate over <= 3*nodes-per-bucket candidates per row."""
+    if bucket_width is None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(coord_col)
+        bucket_width = float(
+            grid_dim.select(
+                (F.col(coord_col) - F.lag(coord_col).over(w)).alias("_gap")
+            )
+            .agg(F.max("_gap"))
+            .first()[0]
+        )
+    b_fact = F.floor(F.col(value_col) / bucket_width).cast("long")
+    g = grid_dim.select(
+        F.col(id_col),
+        F.col(coord_col),
+        F.explode(
+            F.array(
+                *[
+                    F.floor(F.col(coord_col) / bucket_width).cast("long")
+                    + F.lit(o)
+                    for o in (-1, 0, 1)
+                ]
+            )
+        ).alias("_b"),
+    )
+    cand = df.withColumn("_b", b_fact).join(F.broadcast(g), "_b")
+    dist = F.abs(F.col(coord_col) - F.col(value_col))
+    best = cand.groupBy(*key_cols).agg(
+        F.min(F.struct(dist.alias("dist"), F.col(id_col).alias("nearest"))).alias("_m")
+    )
+    return best.select(
+        *key_cols,
+        F.col("_m.nearest").alias(f"nearest_{id_col}"),
+        F.col("_m.dist").alias("dist"),
+    )
 
 
 def grid_resolution_check(grid_df: DataFrame, axis: str = "lon") -> float:

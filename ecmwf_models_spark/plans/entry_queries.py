@@ -968,6 +968,83 @@ FROM events GROUP BY 1
 """
 
 
+# ----------------------------------------- nearest-neighbour join (J1)
+
+def _irregular_nodes() -> list[tuple[int, float]]:
+    """Deterministic IRREGULAR 1-D grid over the events value range —
+    uneven spacing so the nearest node is genuinely non-trivial."""
+    import math
+
+    return [(j, j * 10 + 3 * math.sin(j)) for j in range(50)]
+
+
+def q_nearest_gpi(spark, sf_dir):
+    """J1 with INEXACT keys: every event's value joined to the nearest
+    node of an irregular grid (grid.py nearest_join — the kd-tree
+    find_nearest_gpi of reference interface.py:146-148 as a bucketed
+    band join + argmin, broadcast grid, no cross join)."""
+    from ..grid import nearest_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(_irregular_nodes(), "gpi int, coord double")
+    return nearest_join(
+        ev, dim, value_col="value", key_cols=["event_id"]
+    ).select("event_id", "nearest_gpi", R6(F.col("dist")).alias("dist"))
+
+
+def _oracle_nearest() -> str:
+    values = ",\n    ".join(
+        f"({j}, {c!r})" for j, c in _irregular_nodes()
+    )
+    return f"""
+WITH g(gpi, coord) AS (VALUES
+    {values}
+), c AS (
+  SELECT e.event_id, g.gpi, abs(g.coord - e.value) AS dist
+  FROM events e CROSS JOIN g
+), r AS (
+  SELECT event_id, gpi, dist,
+         row_number() OVER (PARTITION BY event_id ORDER BY dist, gpi) AS rn
+  FROM c
+)
+SELECT event_id, gpi AS nearest_gpi, round(dist, 6) AS dist
+FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------- request chunking (A4)
+
+def q_request_chunks(spark, sf_dir):
+    """A4 request chunking (operators/chunking.py; reference
+    era5/download.py:34-100 split_chunk): chunk id = month-bounded
+    windows of at most max_req_size/(n_vars*n_hsteps) days; per-chunk
+    row counts and bounds. n_vars=10, n_hsteps=4 -> 25-day cap, so
+    months genuinely split into two chunks."""
+    from ..operators.chunking import with_chunk_id
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        with_chunk_id(ev, "ts", n_vars=10, n_hsteps=4, max_req_size=1000)
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _fmt(F.min("ts")).alias("first_ts"),
+            _fmt(F.max("ts")).alias("last_ts"),
+        )
+    )
+
+
+ORACLE_CHUNKS = """
+SELECT strftime(ts, '%Y-%m') || '/' ||
+         CAST(CAST(floor((dayofmonth(ts) - 1) / 25) AS INTEGER) AS VARCHAR)
+         AS chunk_id,
+       count(*) AS n_rows,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events GROUP BY 1
+"""
+
+
 # ------------------------------------ codec roundtrip (UDF surface, S9)
 
 def q_codec_roundtrip(spark, sf_dir):
@@ -1245,7 +1322,9 @@ QUERIES = {
     "scalar_roundtrip": q_scalar_roundtrip,
     "float_axes": q_float_axes,
     "mask_and_fill": q_mask_and_fill,
+    "request_chunks": q_request_chunks,
     "codec_roundtrip": q_codec_roundtrip,
+    "nearest_gpi": q_nearest_gpi,
     "ann_topk_lsh": q_ann_topk_lsh,
 }
 
@@ -1282,6 +1361,8 @@ ORACLES = {
     "scalar_roundtrip": ORACLE_SCALAR,
     "float_axes": ORACLE_FLOAT_AXES,
     "mask_and_fill": ORACLE_MASK_FILL,
+    "request_chunks": ORACLE_CHUNKS,
     "codec_roundtrip": ORACLE_CODEC_ROUNDTRIP,
+    "nearest_gpi": _oracle_nearest(),
     "ann_topk_lsh": _oracle_ann_lsh(),
 }

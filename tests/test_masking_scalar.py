@@ -154,3 +154,38 @@ def test_is_sorted_within(spark):
     out = {r["k"]: r["sorted"] for r in checked.collect()}
     assert out["a"] is False and out["b"] is True
     _ = df
+
+
+def test_nearest_join_matches_bruteforce(spark):
+    """J1 inexact keys: bucketed band join + argmin == brute-force nearest
+    (ties -> lower gpi), and the grid side broadcasts."""
+    import contextlib
+    import io
+    import math
+
+    from ecmwf_models_spark.grid import nearest_join
+
+    nodes = [(j, j * 10 + 3 * math.sin(j)) for j in range(30)]
+    dim = spark.createDataFrame(nodes, "gpi int, coord double")
+    vals = [(i, float(v)) for i, v in enumerate(
+        [0.0, 4.9, 5.1, 142.7, 289.0, 13.0, 296.5, 250.0]
+    )]
+    df = spark.createDataFrame(vals, "row_id int, value double")
+
+    out = {
+        r["row_id"]: (r["nearest_gpi"], r["dist"])
+        for r in nearest_join(
+            df, dim, value_col="value", key_cols=["row_id"]
+        ).collect()
+    }
+    for rid, v in vals:
+        best = min(nodes, key=lambda n: (abs(n[1] - v), n[0]))
+        assert out[rid][0] == best[0], (rid, v, out[rid], best)
+        assert abs(out[rid][1] - abs(best[1] - v)) < 1e-12
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        nearest_join(df, dim, value_col="value", key_cols=["row_id"]).explain(
+            "simple"
+        )
+    assert "BroadcastHashJoin" in buf.getvalue()
