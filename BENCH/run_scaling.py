@@ -133,51 +133,75 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
     pyfiles = build_pyfiles_zip()
 
-    hw_lo = max(hw_probe(N_LOW) for _ in range(reps))
-    hw_hi = max(hw_probe(N_HIGH) for _ in range(reps))
-    hw_speedup = hw_hi / hw_lo
-
-    runs_lo, runs_hi, runs_x = [], [], []
+    # PAIRED measurement: the shared host's available CPU drifts
+    # minute-to-minute, so a hardware probe taken at a different time
+    # than the engine run it normalizes is meaningless (observed: the
+    # same probe giving 3.28x and 3.94x an hour apart). Each rep
+    # interleaves probe(N) -> engine(N) -> probe(4N) -> engine(4N), and
+    # efficiency is computed WITHIN the rep; the headline is the best
+    # rep (least-contended window), with every rep recorded.
+    pairs = []
+    runs_x = []
     if os.environ.get("BENCH_MERGE") == "1":
-        # fold in prior runs (same input params) so reruns tighten bests
         try:
             prior = json.load(open(os.path.join(HERE, "scaling.json")))
-            if prior["n_low"]["n_turns"] == prior["n_high"]["n_turns"]:
-                runs_lo += prior.get("all_runs", {}).get("low", [])
-                runs_hi += prior.get("all_runs", {}).get("high", [])
-                if prior.get("n_extra"):
-                    runs_x.append(prior["n_extra"])
+            pairs += prior.get("pairs", [])
+            if prior.get("n_extra"):
+                runs_x.append(prior["n_extra"])
         except (OSError, KeyError, ValueError):
             pass
-    for i in range(reps):  # interleave levels so drift hits both equally
-        runs_lo.append(run_at(N_LOW, extra, pyfiles))
-        runs_hi.append(run_at(N_HIGH, extra, pyfiles))
+    for i in range(reps):
+        hw_lo_i = hw_probe(N_LOW)
+        lo_i = run_at(N_LOW, extra, pyfiles)
+        hw_hi_i = hw_probe(N_HIGH)
+        hi_i = run_at(N_HIGH, extra, pyfiles)
+        hw_sp = hw_hi_i / hw_lo_i
+        sp = lo_i["elapsed_sec"] / hi_i["elapsed_sec"]
+        pair = {
+            "lo": lo_i,
+            "hi": hi_i,
+            "hw_speedup": round(hw_sp, 3),
+            "speedup": round(sp, 3),
+            "eff_raw": round(sp / (N_HIGH / N_LOW), 3),
+            "eff_vs_hw": round(sp / hw_sp, 3),
+        }
+        pairs.append(pair)
         if N_EXTRA and (i == 0 or os.environ.get("BENCH_MERGE") == "1"):
             runs_x.append(run_at(N_EXTRA, extra, pyfiles))
-        print(
-            json.dumps({"rep": i, "lo": runs_lo[-1], "hi": runs_hi[-1]}),
-            file=sys.stderr,
-        )
-    lo = best_of(runs_lo)
-    hi = best_of(runs_hi)
+        print(json.dumps({"rep": i, **pair}), file=sys.stderr)
+
+    # a pair with super-linear raw efficiency is physically impossible
+    # without cross-minute drift (the low run hit a contended window the
+    # high run didn't) — exclude such windows from the headline rather
+    # than cherry-picking them
+    valid = [p for p in pairs if p["eff_raw"] <= 1.1] or pairs
+    med_pair = sorted(valid, key=lambda p: p["eff_vs_hw"])[len(valid) // 2]
+    med = med_pair["eff_vs_hw"]
+    med_raw = sorted(p["eff_raw"] for p in valid)[len(valid) // 2]
+    lo = best_of([p["lo"] for p in pairs])
+    hi = best_of([p["hi"] for p in pairs])
     xtra = best_of(runs_x) if runs_x else None
 
-    speedup = hi["turns_per_sec"] / lo["turns_per_sec"]
-    ratio = N_HIGH / N_LOW
-    eff = round(speedup / ratio, 3)
-    eff_vs_hw = round(speedup / hw_speedup, 3)
+    # HEADLINE = median valid window (robust), not the best
+    speedup = med_pair["speedup"]
+    hw_speedup = med_pair["hw_speedup"]
+    eff = med_raw
+    eff_vs_hw = med
     result = {
         "n_low": lo,
         "n_high": hi,
         "n_extra": xtra,
-        "reps": reps,
-        "all_runs": {"low": runs_lo, "high": runs_hi},
+        "reps": len(pairs),
+        "pairs": pairs,
+        "n_valid_pairs": len(valid),
+        "headline_pair": med_pair,
+        "median_eff_vs_hw": med,
+        "median_eff_raw": med_raw,
         "hw_probe": {
             "cores_low": N_LOW,
             "cores_high": N_HIGH,
-            "hashes_per_sec_low": round(hw_lo, 0),
-            "hashes_per_sec_high": round(hw_hi, 0),
-            "hw_speedup": round(hw_speedup, 3),
+            "hw_speedup": hw_speedup,
+            "method": "paired per-rep probes (same-minute normalization)",
         },
         f"speedup_{N_LOW}_to_{N_HIGH}": round(speedup, 3),
         "scaling_efficiency": eff,
@@ -188,9 +212,16 @@ def main():
     with open(os.path.join(HERE, "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
 
+    ratio = N_HIGH / N_LOW
     xrow = (
         f"| local[{N_EXTRA}] | {xtra['elapsed_sec']} | "
         f"{xtra['turns_per_sec']} |\n" if xtra else ""
+    )
+    pair_rows = "\n".join(
+        f"| {p['lo']['elapsed_sec']} | {p['hi']['elapsed_sec']} | "
+        f"{p['speedup']} | {p['hw_speedup']} | {p['eff_raw']} | "
+        f"{p['eff_vs_hw']} |"
+        for p in pairs
     )
     md = f"""# BENCH/BASELINE.md — scaling evidence (north rule)
 
@@ -200,37 +231,42 @@ launch mode; sandbox stand-in for N vs 4N executors). Job = reshuffle
 (dedup + transpose + cell-partitioned write) -> hourly -> daily -> monthly
 rollup cascade (written) -> gap-fill. Input: deterministic synthetic
 transcripts, {lo['n_turns']:,} turns. JIT warmup pass excluded (long-lived
-executors are warm on a real cluster). Figures are best-of-{reps}
-interleaved reps per level (min elapsed — the shared VM's available CPU
-swings minute-to-minute; all reps recorded in scaling.json).
+executors are warm on a real cluster).
+
+## Paired measurement protocol
+
+This sandbox is a shared/overcommitted VM whose available CPU drifts
+minute-to-minute (the same pure-CPU probe measured 3.28x and 3.94x
+hardware scaling an hour apart). So every rep interleaves, within one
+window: probe({N_LOW} cores) -> engine({N_LOW}) -> probe({N_HIGH}) ->
+engine({N_HIGH}), and efficiency is computed WITHIN the rep:
+
+    eff_raw    = (t_N / t_4N) / {ratio:.0f}
+    eff_vs_hw  = (t_N / t_4N) / hw_speedup_of_that_window
+
+The probe (pinned multiprocessing sha256 chains, zero Spark) is what the
+BOX can scale between the same pinned core sets in that minute; on real
+silicon or a real multi-executor cluster hw_speedup ~= {ratio:.0f} and the
+two efficiencies coincide. All {len(pairs)} paired reps:
+
+| t_{N_LOW}c (s) | t_{N_HIGH}c (s) | speedup | hw ceiling | eff_raw | eff_vs_hw |
+|---|---|---|---|---|---|
+{pair_rows}
+
+Headline = the MEDIAN drift-valid window (pairs with eff_raw > 1.1 are
+physically impossible without cross-minute drift and are excluded from
+the headline; every pair is shown above): speedup **{speedup}x** against
+a same-minute hardware ceiling of **{hw_speedup}x** -> efficiency vs
+ceiling **{eff_vs_hw}**, raw efficiency **{eff}**
+(target >= 0.8: {"PASS" if eff_vs_hw >= 0.8 or eff >= 0.8 else "FAIL"}).
+
+## Best-of throughput per level
 
 | parallelism | elapsed (s) | throughput (turns/s) |
 |---|---|---|
 | local[{N_LOW}]  (N)  | {lo['elapsed_sec']} | {lo['turns_per_sec']} |
 | local[{N_HIGH}] (4N) | {hi['elapsed_sec']} | {hi['turns_per_sec']} |
 {xrow}
-Speedup {N_LOW}->{N_HIGH} cores: **{round(speedup, 2)}x** (ideal {ratio:.0f}x)
-Scaling efficiency: **{eff}** (target >= 0.8: {"PASS" if eff >= 0.8 else "see hw ceiling"})
-{"(Super-linear: a pinned 2-core JVM pays GC + IRQ share on its only two cores — cores 0-1 also service the host — while 8 cores give GC headroom; the pure-CPU probe below shows the same effect, and the hw-normalized efficiency corrects for it.)" if eff > 1 else ""}
-
-## Hardware ceiling calibration
-
-This sandbox is a shared/overcommitted VM: a pure-CPU probe
-(multiprocessing sha256 chains, zero Spark) measures what the BOX can
-scale between the same core counts:
-
-| cores | hashes/s |
-|---|---|
-| {N_LOW} | {hw_lo:,.0f} |
-| {N_HIGH} | {hw_hi:,.0f} |
-
-Hardware best-case speedup {N_LOW}->{N_HIGH}: **{hw_speedup:.2f}x**.
-Engine speedup / hardware ceiling = **{eff_vs_hw}** (>= 0.8: {"PASS" if eff_vs_hw >= 0.8 else "FAIL"}).
-On real silicon (or a real multi-executor cluster) the ceiling is ~{ratio:.0f}x
-and the raw and normalized efficiencies coincide. The primary pair is
-{N_LOW}->{N_HIGH} cores because beyond ~8-16 threads this VM crosses its
-SMT/overcommit knee (probe tops out near 2.6x for 8->32 on ANY workload).
-
 Phase breakdown (seconds):
 
 | phase | local[{N_LOW}] | local[{N_HIGH}] |{"| local[" + str(N_EXTRA) + "] |" if xtra else ""}

@@ -371,21 +371,27 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash. Candidate generation blocks on 16-bit
-    chunks (pigeonhole: <=3 differing bits over 4 chunks -> at least one
-    chunk identical), then verifies full Hamming distance — no quadratic
-    join."""
-    sh = simhash64(docs, text_col)
+    """Near-dup pairs by SimHash. Candidate generation blocks on
+    quarter-width chunks (pigeonhole: <=3 differing bits over 4 chunks ->
+    at least one chunk identical), then verifies full Hamming distance —
+    no quadratic join. portable=True runs on the 60-bit md5 simhash
+    (15-bit chunks), reproducible in the DuckDB oracle."""
+    n_bits = 60 if portable else 64
+    w = n_bits // 4
+    sh = simhash(docs, text_col, n_bits=n_bits, portable=portable)
     chunks = sh.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(
-                        F.lit(0xFFFF)
+                    F.shiftrightunsigned("simhash", i * w).bitwiseAND(
+                        F.lit((1 << w) - 1)
                     )
                     for i in range(4)
                 ]

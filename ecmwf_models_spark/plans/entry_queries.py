@@ -855,6 +855,36 @@ FROM s
 """
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS: quarter-width pigeonhole blocking (for
+    hamming<=3 at least one of 4 chunks is identical — exact, no false
+    negatives) + full Hamming verify. The oracle brute-forces all pairs,
+    so this also PROVES the blocking loses nothing."""
+    docs = _t(spark, sf_dir, "documents")
+    return TXT.simhash_near_pairs(docs, max_hamming=3, portable=True)
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT AS h
+  FROM tok
+), s AS (
+  SELECT doc_id,
+         {_SH_BIT_SUMS}
+  FROM h GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, CAST({_SH_ASSEMBLE} AS BIGINT) AS simhash FROM s
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # ------------------------------------- scalar functions (F1-F8, P10)
 
 def q_scalar_roundtrip(spark, sf_dir):
@@ -965,6 +995,45 @@ SELECT event_type,
        count(CASE WHEN event_type != 'click' THEN value END) AS n_kept,
        count(CAST(NULL AS DOUBLE)) AS n_filled
 FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------- grid construction / bbox (P6/F1)
+
+def q_grid_bbox(spark, sf_dir):
+    """P6 bbox subset preserving GLOBAL gpi numbering + F1 longitude
+    wrap roundtrip (grid.regular_grid / trafo_lon; reference
+    grid.py:145-193, 13-29): the 1-degree grid cut to a bbox, with
+    trafo_lon((lon+360) % 360) proving the 0..360 -> -180..180 wrap
+    inverts the shift."""
+    from ..grid import regular_grid, trafo_lon
+
+    g = regular_grid(spark, resolution=1.0, bbox=(-10.0, -5.0, 10.0, 5.0))
+    return g.select(
+        "gpi",
+        "lon",
+        "lat",
+        "cell",
+        trafo_lon((F.col("lon") + 360) % 360).alias("lon_rt"),
+    )
+
+
+ORACLE_GRID_BBOX = """
+WITH lon(i) AS (SELECT * FROM generate_series(0, 359)),
+lat(j) AS (SELECT * FROM generate_series(0, 180)),
+g AS (
+  SELECT CAST(j * 360 + i AS BIGINT) AS gpi,
+         CAST(i - 180 AS DOUBLE) AS lon,
+         CAST(90 - j AS DOUBLE) AS lat
+  FROM lat, lon
+)
+SELECT gpi, lon, lat,
+       CAST(floor((lon + 180.0) / 5) * 36 + floor((lat + 90.0) / 5)
+            AS INTEGER) AS cell,
+       CASE WHEN ((lon + 360) % 360) > 180.0 THEN ((lon + 360) % 360) - 360.0
+            ELSE ((lon + 360) % 360) END AS lon_rt
+FROM g
+WHERE lon BETWEEN -10 AND 10 AND lat BETWEEN -5 AND 5
 """
 
 
@@ -1325,6 +1394,8 @@ QUERIES = {
     "request_chunks": q_request_chunks,
     "codec_roundtrip": q_codec_roundtrip,
     "nearest_gpi": q_nearest_gpi,
+    "grid_bbox": q_grid_bbox,
+    "simhash_pairs": q_simhash_pairs,
     "ann_topk_lsh": q_ann_topk_lsh,
 }
 
@@ -1364,5 +1435,7 @@ ORACLES = {
     "request_chunks": ORACLE_CHUNKS,
     "codec_roundtrip": ORACLE_CODEC_ROUNDTRIP,
     "nearest_gpi": _oracle_nearest(),
+    "grid_bbox": ORACLE_GRID_BBOX,
+    "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "ann_topk_lsh": _oracle_ann_lsh(),
 }

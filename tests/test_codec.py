@@ -120,3 +120,40 @@ def test_stream_pack_matches_group_pack(spark, bronze):
             assert a[k]["tool_call_blob"] == b[k]["tool_call_blob"], k
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_batch_encoders_bit_identical_fuzz():
+    """encode_*_batch must be BIT-identical to the scalar encoders for
+    any run layout (empty, singleton, block-boundary, multi-block runs,
+    NaNs, constants)."""
+    import numpy as np
+
+    from ecmwf_models_spark import codec
+
+    rng = np.random.RandomState(42)
+    for _ in range(60):
+        nrun = rng.randint(1, 16)
+        lens = rng.choice(
+            [0, 1, 2, 3, 24, 127, 128, 129, 257, 300], size=nrun
+        )
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        n = int(bounds[-1])
+        ts = np.cumsum(rng.randint(0, 10**9, size=n).astype(np.int64))
+        vals = rng.randn(n).astype(np.float32)
+        if n:
+            vals[rng.rand(n) < 0.1] = np.nan
+            vals[rng.rand(n) < 0.3] = 2.5
+        bt = codec.encode_timestamps_batch(ts, bounds)
+        bv = codec.encode_values_f32_batch(vals, bounds)
+        for r in range(nrun):
+            lo, hi = bounds[r], bounds[r + 1]
+            assert bt[r] == codec.encode_timestamps(ts[lo:hi])
+            assert bv[r] == codec.encode_values_f32(vals[lo:hi])
+            # and they decode back
+            np.testing.assert_array_equal(
+                codec.decode_timestamps(bt[r]), ts[lo:hi]
+            )
+            np.testing.assert_array_equal(
+                codec.decode_values_f32(bv[r]).view(np.uint32),
+                vals[lo:hi].view(np.uint32),
+            )
