@@ -128,3 +128,35 @@ def test_float32_edge_contract(silver):
     raw = dict(rollup_from_raw(silver, "daily").dtypes)
     assert raw["text_len_sum"] == "bigint"
     assert raw["text_len_cnt"] == "bigint"
+
+
+def test_monthly_tier_bit_stable_across_parallelism(spark, bronze):
+    """The round-1 driver failure mode: double sums flipped rounding
+    boundaries between partitionings. int64 micro sums are associative,
+    so the monthly tier must be BIT-identical at any parallelism/layout."""
+    outs = []
+    for parts in (3, 17):
+        silver = reshuffle(bronze, n_cells=16, num_partitions=parts)
+        monthly = finalize(
+            rollup_cascade(
+                rollup_cascade(rollup_from_raw(silver, "hourly"), "daily"),
+                "monthly",
+            )
+        )
+        pdf = monthly.toPandas().sort_values(
+            ["conv_id", "bucket_ts"]
+        ).reset_index(drop=True)
+        outs.append(pdf)
+    a, b = outs
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            # bit-identical, not just close
+            import numpy as np
+
+            np.testing.assert_array_equal(
+                a[c].values.view("uint8" if a[c].dtype.itemsize == 1 else "uint%d" % (a[c].dtype.itemsize * 8)),
+                b[c].values.view("uint8" if b[c].dtype.itemsize == 1 else "uint%d" % (b[c].dtype.itemsize * 8)),
+            )
+        else:
+            assert (a[c].values == b[c].values).all(), c
