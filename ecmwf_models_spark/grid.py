@@ -101,10 +101,16 @@ def nearest_join(
          broadcast — each fact row meets <= 3 buckets' nodes, never the
          whole grid (no cross join, no kd-tree to ship);
       3. argmin |coord - value| per row via one aggregate min(struct(dist,
-         gpi)) — deterministic ties (lower gpi wins), no window.
+         gpi)) — deterministic ties (lower gpi wins), no window;
+      4. fact buckets are CLAMPED to the grid's [min, max] bucket range,
+         so probes beyond the grid extent still meet the end nodes — the
+         nearest node for an out-of-range probe is always an end node,
+         matching the reference kd-tree's always-returns contract.
 
     At 100 TB this is a broadcast hash join + a partial-aggregating
-    hash aggregate over <= 3*nodes-per-bucket candidates per row."""
+    hash aggregate over <= 3*nodes-per-bucket candidates per row. The
+    grid-side stats (max gap, extent) are one tiny aggregate over the
+    already-broadcast dimension."""
     if bucket_width is None:
         from pyspark.sql import Window
 
@@ -116,7 +122,20 @@ def nearest_join(
             .agg(F.max("_gap"))
             .first()[0]
         )
-    b_fact = F.floor(F.col(value_col) / bucket_width).cast("long")
+    import math
+
+    ext = grid_dim.agg(
+        F.min(coord_col).alias("lo"), F.max(coord_col).alias("hi")
+    ).first()
+    b_lo = int(math.floor(float(ext["lo"]) / bucket_width))
+    b_hi = int(math.floor(float(ext["hi"]) / bucket_width))
+    b_fact = F.least(
+        F.greatest(
+            F.floor(F.col(value_col) / bucket_width).cast("long"),
+            F.lit(b_lo),
+        ),
+        F.lit(b_hi),
+    )
     g = grid_dim.select(
         F.col(id_col),
         F.col(coord_col),

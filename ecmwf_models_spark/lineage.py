@@ -22,10 +22,10 @@ stable under any task placement/parallelism.
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 LINEAGE_SCHEMA = T.StructType(
@@ -42,10 +42,20 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Attempt the read; map PATH_NOT_FOUND to an empty frame. Existence is
+    decided by Spark's own filesystem resolution (works for HDFS/S3/local
+    alike) — os.path.exists is local-FS-only and would silently treat a
+    remote table as absent, re-deriving defaults the persisted run-kwargs
+    contract exists to prevent."""
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
-    if not os.path.exists(path):
-        return spark.createDataFrame([], LINEAGE_SCHEMA)
-    return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
+    return _read_or_empty(spark, path, LINEAGE_SCHEMA)
 
 
 def committed_cells(spark: SparkSession, path: str, tier: str) -> DataFrame:
@@ -98,9 +108,7 @@ def write_run_settings(
 
 def read_run_settings(spark: SparkSession, path: str) -> dict:
     """Latest persisted value per key (as strings; callers cast)."""
-    if not os.path.exists(path):
-        return {}
-    df = spark.read.schema(SETTINGS_SCHEMA).parquet(path)
+    df = _read_or_empty(spark, path, SETTINGS_SCHEMA)
     rows = (
         df.groupBy("key")
         .agg(F.max_by("value", "committed_at").alias("value"))

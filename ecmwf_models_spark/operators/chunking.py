@@ -42,7 +42,12 @@ def plan_request_chunks(
     daily: bool = False,
 ) -> list[tuple[dt.date, dt.date]]:
     """Inclusive (start, end) windows: never spanning a month boundary,
-    each at most max_days long (one day each with daily=True)."""
+    each at most max_days long (one day each with daily=True). Sub-month
+    windows are anchored at day 1 of the month — window k of a month
+    covers days [k*step+1, (k+1)*step] — so a backfill starting mid-month
+    produces windows that coincide exactly with chunk_id_col's ids (the
+    first window is the truncated tail of its anchor window). This keeps
+    the planner and the engine-native column bijective for ANY start."""
     step = 1 if daily else _max_days(n_vars, n_hsteps, max_req_size)
     chunks: list[tuple[dt.date, dt.date]] = []
     cur = start
@@ -50,7 +55,12 @@ def plan_request_chunks(
         month_end = dt.date(
             cur.year, cur.month, calendar.monthrange(cur.year, cur.month)[1]
         )
-        chunk_end = min(cur + dt.timedelta(days=step - 1), month_end, end)
+        # end of the day-1-anchored window containing `cur`
+        k = (cur.day - 1) // step
+        anchor_end = dt.date(cur.year, cur.month, 1) + dt.timedelta(
+            days=(k + 1) * step - 1
+        )
+        chunk_end = min(anchor_end, month_end, end)
         chunks.append((cur, chunk_end))
         cur = chunk_end + dt.timedelta(days=1)
     return chunks

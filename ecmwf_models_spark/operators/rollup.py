@@ -59,11 +59,16 @@ MICRO = 1_000_000
 def to_micro(c):
     """double -> int64 micro-units, round-half-up. floor(x*1e6 + 0.5) is
     IEEE-deterministic and expressible identically in ANSI SQL, so the
-    DuckDB oracle reproduces the exact same int64. NULL stays NULL (and a
-    NaN metric becomes NULL through the long cast, excluded from the sum
-    like the reference's masked fill values)."""
+    DuckDB oracle reproduces the exact same int64. NULL stays NULL; NaN is
+    mapped to NULL explicitly — Spark's long cast turns NaN into 0, which
+    would silently add 0 to the sum while still bumping the count (and the
+    DuckDB oracle errors on CAST(NaN AS BIGINT)). Codec round-trips keep
+    NaN bit-exact, so NaN-bearing unpacked data must be excluded from the
+    sum like the reference's masked fill values."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.floor(col.cast("double") * MICRO + F.lit(0.5)).cast("long")
+    col = col.cast("double")
+    col = F.when(F.isnan(col), F.lit(None)).otherwise(col)
+    return F.floor(col * MICRO + F.lit(0.5)).cast("long")
 
 
 def _agg_state(value_cols, n_turns_expr):
@@ -71,7 +76,9 @@ def _agg_state(value_cols, n_turns_expr):
     for c in value_cols:
         aggs += [
             F.sum(to_micro(c)).alias(f"{c}_sum"),
-            F.count(c).alias(f"{c}_cnt"),
+            # count the same NaN-nulled expression the sum uses, so
+            # avg = sum/cnt stays consistent when NaN rows are present
+            F.count(to_micro(c)).alias(f"{c}_cnt"),
             F.min(c).alias(f"{c}_min"),
             F.max(c).alias(f"{c}_max"),
             F.min_by(c, "ts").alias(f"{c}_first"),

@@ -110,10 +110,16 @@ def make_sessionizer(gap_hours: float = 6.0):
             closed_ends.append(ts[hi - 1])
             closed_counts.append(hi - lo)
             closed_sums.append(float(tl[lo:hi].sum()))
-        # last segment stays open in state
+        # last segment stays open in state; same monotone guard as the
+        # no-split branch — a late batch (all rows older than the previous
+        # last_us) with an internal gap must not move the gap reference
+        # point backwards, or a later on-time batch could double-open
         lo = bounds[-2]
+        new_last = int(ts[-1]) if last_us is None else max(
+            int(ts[-1]), int(last_us)
+        )
         state.update(
-            (int(ts[lo]), int(ts[-1]), int(len(ts) - lo), float(tl[lo:].sum()))
+            (int(ts[lo]), new_last, int(len(ts) - lo), float(tl[lo:].sum()))
         )
         yield _close_rows(
             conv_id,

@@ -4,6 +4,7 @@ Models the reference goldens: exact point values at fixed keys
 (test_era5_reshuffle.py:135-140, rtol=1e-5 on float32) and the exactness
 of re-aggregation (monthly-from-daily == monthly-from-raw)."""
 
+import datetime as dt
 import numpy as np
 import pandas as pd
 import pytest
@@ -160,3 +161,30 @@ def test_monthly_tier_bit_stable_across_parallelism(spark, bronze):
             )
         else:
             assert (a[c].values == b[c].values).all(), c
+
+
+def test_nan_metric_excluded_from_sum_and_count(spark):
+    """A NaN metric row must contribute to neither sum nor cnt (Spark's
+    long cast would silently turn NaN into +0 while F.count still counted
+    the row, deflating averages). NULL behaves the same; real values
+    aggregate normally."""
+    import math
+
+    from ecmwf_models_spark.operators.rollup import finalize, rollup_from_raw
+
+    rows = [
+        ("c1", dt.datetime(2024, 1, 1, 0, 5), 2.0, 1.0),
+        ("c1", dt.datetime(2024, 1, 1, 0, 15), float("nan"), 0.0),
+        ("c1", dt.datetime(2024, 1, 1, 0, 25), None, 1.0),
+        ("c1", dt.datetime(2024, 1, 1, 0, 35), 4.0, 0.0),
+    ]
+    silver = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, text_len double, tool_call double"
+    )
+    out = finalize(rollup_from_raw(silver, "hourly")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_turns"] == 4
+    assert r["text_len_cnt"] == 2
+    assert r["text_len_sum"] == 6.0
+    assert math.isclose(r["text_len_avg"], 3.0, rel_tol=1e-6)

@@ -167,8 +167,11 @@ def test_nearest_join_matches_bruteforce(spark):
 
     nodes = [(j, j * 10 + 3 * math.sin(j)) for j in range(30)]
     dim = spark.createDataFrame(nodes, "gpi int, coord double")
+    # -80 and 500 sit many bucket-widths beyond the grid extent: the
+    # clamp must still join them to the end nodes (kd-tree contract),
+    # not silently drop them
     vals = [(i, float(v)) for i, v in enumerate(
-        [0.0, 4.9, 5.1, 142.7, 289.0, 13.0, 296.5, 250.0]
+        [0.0, 4.9, 5.1, 142.7, 289.0, 13.0, 296.5, 250.0, -80.0, 500.0]
     )]
     df = spark.createDataFrame(vals, "row_id int, value double")
 
