@@ -64,94 +64,75 @@ def _dsum(expr: str) -> str:
 
 
 # --------------------------------------------------------------- rollups
-
-def _hourly_state():
-    # built lazily: Column construction needs an active SparkSession
-    return [
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(DEC("value")).alias("_sum"),  # exact, order-independent
-        F.count("value").alias("_cnt"),
-        F.min("value").alias("value_min"),
-        F.max("value").alias("value_max"),
-        F.min_by("value", "ts").alias("value_first"),
-        F.max_by("value", "ts").alias("value_last"),
-    ]
+#
+# These three entries execute the PRODUCTION metric path in
+# operators/rollup.py — rollup_from_raw -> rollup_cascade -> finalize —
+# not a semantic twin: the events table is shimmed to the transcript
+# schema (user_id -> conv_id, value as the metric column) and the oracle
+# mirrors the operator's int64 micro-unit fixed point exactly:
+# sum = CAST(sum(CAST(floor(value*1e6 + 0.5) AS BIGINT)) AS DOUBLE)/1e6.
+# finalize's float32 edge casts are widened back to double for hashing
+# (f32 -> f64 widening is exact, and DuckDB applies the identical
+# CAST(... AS REAL) rounding first).
 
 
-def _finalize_state(df):
-    return df.select(
-        "user_id",
-        _fmt("bucket").alias("bucket_ts"),
-        "n_events",
-        R6(F.col("_sum").cast("double")).alias("value_sum"),
-        R6(F.col("_sum").cast("double") / F.col("_cnt")).alias("value_avg"),
-        "value_min",
-        "value_max",
-        "value_first",
-        "value_last",
+def _rollup_tier_df(spark, sf_dir, tier: str):
+    from ..operators.rollup import finalize, rollup_from_raw, rollup_cascade
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"), "ts", "value"
+    )
+    out = rollup_from_raw(ev, "hourly", value_cols=("value",))
+    if tier in ("daily", "monthly"):
+        out = rollup_cascade(out, "daily", value_cols=("value",))
+    if tier == "monthly":
+        out = rollup_cascade(out, "monthly", value_cols=("value",))
+    fin = finalize(out, value_cols=("value",))
+    return fin.select(
+        F.col("conv_id").alias("user_id"),
+        _fmt("bucket_ts").alias("bucket_ts"),
+        F.col("n_turns").alias("n_events"),
+        F.col("value_sum"),
+        F.col("value_avg").cast("double").alias("value_avg"),
+        F.col("value_min").cast("double").alias("value_min"),
+        F.col("value_max").cast("double").alias("value_max"),
+        F.col("value_first").cast("double").alias("value_first"),
+        F.col("value_last").cast("double").alias("value_last"),
     )
 
 
 def q_rollup_hourly(spark, sf_dir):
-    """A1/rollup tier-0: per-user hourly continuous aggregate
-    (operators/rollup.py rollup_from_raw)."""
-    ev = _t(spark, sf_dir, "events")
-    g = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(*_hourly_state())
-    return _finalize_state(g)
-
-
-def _hourly_state_df(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(
-        *_hourly_state(),
-        F.min("ts").alias("_first_ts"),
-        F.max("ts").alias("_last_ts"),
-    )
-
-
-def _cascade(lower, trunc):
-    """Exact tier-k -> tier-k+1 re-aggregation (operators/rollup.py
-    rollup_cascade): sums/counts add, min/max nest, first/last pick by the
-    carried boundary timestamps."""
-    return lower.groupBy(
-        "user_id", F.date_trunc(trunc, "bucket").alias("bucket")
-    ).agg(
-        F.sum("n_events").alias("n_events"),
-        F.sum("_sum").alias("_sum"),
-        F.sum("_cnt").alias("_cnt"),
-        F.min("value_min").alias("value_min"),
-        F.max("value_max").alias("value_max"),
-        F.min_by("value_first", "_first_ts").alias("value_first"),
-        F.max_by("value_last", "_last_ts").alias("value_last"),
-        F.min("_first_ts").alias("_first_ts"),
-        F.max("_last_ts").alias("_last_ts"),
-    )
+    """A1/rollup tier-0 through operators/rollup.py rollup_from_raw +
+    finalize (the BASELINE.json metric path, int64 micro-unit sums)."""
+    return _rollup_tier_df(spark, sf_dir, "hourly")
 
 
 def q_rollup_daily_from_hourly(spark, sf_dir):
-    return _finalize_state(_cascade(_hourly_state_df(spark, sf_dir), "day"))
+    """A1 cascade tier through operators/rollup.py rollup_cascade."""
+    return _rollup_tier_df(spark, sf_dir, "daily")
 
 
 def q_rollup_monthly_from_daily(spark, sf_dir):
-    daily = _cascade(_hourly_state_df(spark, sf_dir), "day")
-    return _finalize_state(_cascade(daily, "month"))
+    """A1 two-level cascade through operators/rollup.py rollup_cascade."""
+    return _rollup_tier_df(spark, sf_dir, "monthly")
 
 
 def _oracle_rollup(trunc: str) -> str:
+    # mirrors operators/rollup.py exactly: int64 micro sums
+    # (floor(x*1e6+0.5), NaN -> NULL is vacuous here), count over the
+    # same micro expression, float32 edge casts widened back to double
+    micro = "CAST(floor(value * 1000000 + 0.5) AS BIGINT)"
     return f"""
     SELECT user_id,
            strftime(date_trunc('{trunc}', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
            count(*) AS n_events,
-           round({_dsum('value')}, 6) AS value_sum,
-           round({_dsum('value')} / count(value), 6) AS value_avg,
-           min(value) AS value_min,
-           max(value) AS value_max,
-           arg_min(value, ts) AS value_first,
-           arg_max(value, ts) AS value_last
+           CAST(sum({micro}) AS DOUBLE) / 1000000 AS value_sum,
+           CAST(CAST(CAST(sum({micro}) AS DOUBLE) / 1000000 / count({micro})
+                AS REAL) AS DOUBLE) AS value_avg,
+           CAST(CAST(min(value) AS REAL) AS DOUBLE) AS value_min,
+           CAST(CAST(max(value) AS REAL) AS DOUBLE) AS value_max,
+           CAST(CAST(arg_min(value, ts) AS REAL) AS DOUBLE) AS value_first,
+           CAST(CAST(arg_max(value, ts) AS REAL) AS DOUBLE) AS value_last
     FROM events GROUP BY 1, 2
     """
 
