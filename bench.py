@@ -73,11 +73,24 @@ def _engine_queries(spark, sf_dir):
         # shuffle, no per-group overhead (pack_cells is the baseline)
         return codec.pack_cells_stream(_silver())
 
+    def minhash_lsh_pairs_fast():
+        # PRODUCTION MinHash path: xxhash64 (JVM codegen, no md5 strings).
+        # The oracled `minhash_lsh_pairs` entry runs portable=True
+        # (md5, ~10x slower) solely for DuckDB bit-parity; this is the
+        # number the engine actually ships with.
+        from ecmwf_models_spark.functions import text as TXT
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return TXT.minhash_dedup_pairs(
+            docs, num_hashes=32, bands=8, threshold=0.5, portable=False
+        )
+
     return {
         "eng_reshuffle": eng_reshuffle,
         "eng_rollup_cascade": eng_rollup_cascade,
         "eng_gapfill": eng_gapfill,
         "eng_pack": eng_pack,
+        "minhash_lsh_pairs_fast": minhash_lsh_pairs_fast,
     }, bronze
 
 

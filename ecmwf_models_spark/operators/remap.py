@@ -52,6 +52,109 @@ def conservative_weights_1d(
     )
 
 
+def bilinear_weights_2d(
+    dst_points: DataFrame,
+    lat0: float,
+    dlat: float,
+    nlat: int,
+    lon0: float,
+    dlon: float,
+    nlon: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "gpi",
+) -> DataFrame:
+    """Bilinear remap weights from a REGULAR 2-D (lat, lon) source grid to
+    arbitrary destination points — the reference's `bil` CDO method
+    (reference era5/download.py:290-298 method list; applied at
+    extract.py:150-160,204-213 with weight reuse).
+
+    Closed form, pure column arithmetic (no driver loop, no UDF): for a
+    regular grid the 4 surrounding nodes and their weights are
+
+        fy = (lat - lat0)/dlat, i0 = clamp(floor(fy), 0, nlat-2)
+        ty = clamp(fy - i0, 0, 1)                    (likewise fx/j0/tx)
+        w(i0,j0)=(1-ty)(1-tx)  w(i0,j0+1)=(1-ty)tx
+        w(i0+1,j0)=ty(1-tx)    w(i0+1,j0+1)=ty*tx
+
+    Destination points beyond the grid extent clamp to the boundary cell
+    (ty/tx pinned to [0,1]) so every dst point gets weights summing to 1 —
+    same always-answers contract as nearest_join. src_cell is the
+    flattened gpi i*nlon + j, matching grid.py's row-major numbering.
+    Output (dst_gpi, src_cell, w), 4 rows per dst point (zero-weight
+    corners dropped at exact-node hits). Scale: |dst| * 4 rows, built
+    distributed and broadcast at apply time like every weights table."""
+    fy = (F.col(lat_col) - F.lit(float(lat0))) / F.lit(float(dlat))
+    fx = (F.col(lon_col) - F.lit(float(lon0))) / F.lit(float(dlon))
+    i0 = F.least(
+        F.greatest(F.floor(fy), F.lit(0)), F.lit(nlat - 2)
+    ).cast("int")
+    j0 = F.least(
+        F.greatest(F.floor(fx), F.lit(0)), F.lit(nlon - 2)
+    ).cast("int")
+    ty = F.least(F.greatest(fy - i0, F.lit(0.0)), F.lit(1.0))
+    tx = F.least(F.greatest(fx - j0, F.lit(0.0)), F.lit(1.0))
+    one = F.lit(1.0)
+    corners = F.array(
+        F.struct(
+            (i0 * nlon + j0).alias("src_cell"),
+            ((one - ty) * (one - tx)).alias("w"),
+        ),
+        F.struct(
+            (i0 * nlon + j0 + 1).alias("src_cell"),
+            ((one - ty) * tx).alias("w"),
+        ),
+        F.struct(
+            ((i0 + 1) * nlon + j0).alias("src_cell"),
+            (ty * (one - tx)).alias("w"),
+        ),
+        F.struct(
+            ((i0 + 1) * nlon + j0 + 1).alias("src_cell"),
+            (ty * tx).alias("w"),
+        ),
+    )
+    return (
+        dst_points.select(
+            F.col(id_col).alias("dst_cell"), F.explode(corners).alias("c")
+        )
+        .select("dst_cell", "c.src_cell", "c.w")
+        .where(F.col("w") > 0)
+    )
+
+
+def nearest_weights_2d(
+    dst_points: DataFrame,
+    lat0: float,
+    dlat: float,
+    nlat: int,
+    lon0: float,
+    dlon: float,
+    nlon: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "gpi",
+) -> DataFrame:
+    """Nearest-neighbour remap weights (`nn` in the reference method list,
+    era5/download.py:290-298): each dst point maps to its nearest source
+    node with weight 1. Round-half-up via floor(x + 0.5) — the same
+    IEEE-deterministic idiom the rollup micro-quantizer uses, identical
+    in any engine — then clamped to the grid, so out-of-extent points
+    take the boundary node."""
+    fy = (F.col(lat_col) - F.lit(float(lat0))) / F.lit(float(dlat))
+    fx = (F.col(lon_col) - F.lit(float(lon0))) / F.lit(float(dlon))
+    i = F.least(
+        F.greatest(F.floor(fy + F.lit(0.5)), F.lit(0)), F.lit(nlat - 1)
+    ).cast("int")
+    j = F.least(
+        F.greatest(F.floor(fx + F.lit(0.5)), F.lit(0)), F.lit(nlon - 1)
+    ).cast("int")
+    return dst_points.select(
+        F.col(id_col).alias("dst_cell"),
+        (i * nlon + j).alias("src_cell"),
+        F.lit(1.0).alias("w"),
+    )
+
+
 def remap_weighted(
     fact: DataFrame,
     weights: DataFrame,

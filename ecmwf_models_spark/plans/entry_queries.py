@@ -1203,6 +1203,137 @@ GROUP BY 1
 """
 
 
+# -------------------------------- 2-D bilinear / nearest remap (A1 var.)
+#
+# Source field: regular 8x8 (lat, lon) grid (gpi = i*8 + j) holding the
+# per-cell exact mean metric (micro-int quantized, identical double in
+# DuckDB). Destination: a 30x30 quarter-degree point grid reaching 7.25
+# — PAST the source extent at 7.0 — so boundary clamping is exercised.
+# The oracle recomputes the closed-form weights with the identical IEEE
+# arithmetic (quarter-step coords keep ty/tx exact binary fractions).
+
+_ND = 30  # 30x30 dst grid, coords k*0.25 in [0, 7.25]
+
+
+def _src_field_8x8(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cell_id", _portable_cell(F.col("user_id"))
+    )
+    micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    return ev.groupBy("cell_id").agg(
+        (
+            F.sum(micro).cast("double") / 1000000 / F.count("value")
+        ).alias("val")
+    )
+
+
+def _dst_points_quarter(spark):
+    return spark.range(_ND * _ND).select(
+        F.col("id").cast("int").alias("gpi"),
+        (F.expr("id div 30") * F.lit(0.25)).alias("lat"),
+        ((F.col("id") % 30) * F.lit(0.25)).alias("lon"),
+    )
+
+
+def q_remap_bilinear(spark, sf_dir):
+    """A1 variant, 2-D: bilinear interpolation of the 8x8 cell field onto
+    a 30x30 quarter-step destination grid via a reusable weights table
+    (operators/remap.py bilinear_weights_2d + remap_weighted; reference
+    era5/download.py:290-298 `bil`, applied at extract.py:150-160)."""
+    from ..operators.remap import bilinear_weights_2d, remap_weighted
+
+    w = bilinear_weights_2d(
+        _dst_points_quarter(spark), 0.0, 1.0, 8, 0.0, 1.0, 8
+    )
+    out = remap_weighted(_src_field_8x8(spark, sf_dir), w, ("val",))
+    return out.select(
+        "dst_cell",
+        R6(F.col("val_remap")).alias("val_remap"),
+        R6(F.col("w_sum")).alias("w_sum"),
+    )
+
+
+def q_remap_nearest(spark, sf_dir):
+    """A1 variant, 2-D: nearest-node remap (`nn` in the reference method
+    list) through the same weights-table apply path."""
+    from ..operators.remap import nearest_weights_2d, remap_weighted
+
+    w = nearest_weights_2d(
+        _dst_points_quarter(spark), 0.0, 1.0, 8, 0.0, 1.0, 8
+    )
+    out = remap_weighted(_src_field_8x8(spark, sf_dir), w, ("val",))
+    return out.select(
+        "dst_cell",
+        R6(F.col("val_remap")).alias("val_remap"),
+        R6(F.col("w_sum")).alias("w_sum"),
+    )
+
+
+_ORACLE_FIELD_AND_DST = """
+f AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+              % 64 AS INTEGER) AS cell_id,
+         value
+  FROM events
+), fld AS (
+  SELECT cell_id,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000 / count(value) AS val
+  FROM f GROUP BY 1
+), d AS (
+  SELECT CAST(g AS INTEGER) AS dst_cell,
+         (g // 30) * 0.25 AS lat,
+         (g % 30) * 0.25 AS lon
+  FROM generate_series(0, 899) t(g)
+)"""
+
+ORACLE_REMAP_BILINEAR = f"""
+WITH {_ORACLE_FIELD_AND_DST}, p AS (
+  SELECT dst_cell,
+         least(greatest(floor(lat / 1.0), 0), 6) AS i0,
+         least(greatest(floor(lon / 1.0), 0), 6) AS j0,
+         least(greatest(lat / 1.0 - least(greatest(floor(lat / 1.0), 0), 6),
+                        0.0), 1.0) AS ty,
+         least(greatest(lon / 1.0 - least(greatest(floor(lon / 1.0), 0), 6),
+                        0.0), 1.0) AS tx
+  FROM d
+), w AS (
+  SELECT dst_cell, CAST(i0 * 8 + j0 AS INTEGER) AS src_cell,
+         (1.0 - ty) * (1.0 - tx) AS wt FROM p
+  UNION ALL
+  SELECT dst_cell, CAST(i0 * 8 + j0 + 1 AS INTEGER),
+         (1.0 - ty) * tx FROM p
+  UNION ALL
+  SELECT dst_cell, CAST((i0 + 1) * 8 + j0 AS INTEGER),
+         ty * (1.0 - tx) FROM p
+  UNION ALL
+  SELECT dst_cell, CAST((i0 + 1) * 8 + j0 + 1 AS INTEGER),
+         ty * tx FROM p
+), wp AS (SELECT * FROM w WHERE wt > 0)
+SELECT dst_cell,
+       round({_dsum('wt * val')}, 6) AS val_remap,
+       round({_dsum('wt')}, 6) AS w_sum
+FROM wp JOIN fld ON wp.src_cell = fld.cell_id
+GROUP BY 1
+"""
+
+ORACLE_REMAP_NEAREST = f"""
+WITH {_ORACLE_FIELD_AND_DST}, w AS (
+  SELECT dst_cell,
+         CAST(least(greatest(floor(lat / 1.0 + 0.5), 0), 7) * 8
+              + least(greatest(floor(lon / 1.0 + 0.5), 0), 7)
+              AS INTEGER) AS src_cell,
+         1.0 AS wt
+  FROM d
+)
+SELECT dst_cell,
+       round({_dsum('wt * val')}, 6) AS val_remap,
+       round({_dsum('wt')}, 6) AS w_sum
+FROM w JOIN fld ON w.src_cell = fld.cell_id
+GROUP BY 1
+"""
+
+
 # ------------------------------------------- landmask derivation (A3/P5)
 
 def q_landmask_derive(spark, sf_dir):
@@ -1369,6 +1500,8 @@ QUERIES = {
     "lut_resolve": q_lut_resolve,
     "landmask_derive": q_landmask_derive,
     "remap_weighted": q_remap_weighted,
+    "remap_bilinear": q_remap_bilinear,
+    "remap_nearest": q_remap_nearest,
     "scalar_roundtrip": q_scalar_roundtrip,
     "float_axes": q_float_axes,
     "mask_and_fill": q_mask_and_fill,
@@ -1410,6 +1543,8 @@ ORACLES = {
     "lut_resolve": _oracle_lut_resolve(),
     "landmask_derive": ORACLE_LANDMASK,
     "remap_weighted": _oracle_remap(),
+    "remap_bilinear": ORACLE_REMAP_BILINEAR,
+    "remap_nearest": ORACLE_REMAP_NEAREST,
     "scalar_roundtrip": ORACLE_SCALAR,
     "float_axes": ORACLE_FLOAT_AXES,
     "mask_and_fill": ORACLE_MASK_FILL,

@@ -53,3 +53,61 @@ def test_weights_join_broadcasts(spark):
     with contextlib.redirect_stdout(buf):
         remap_weighted(fact, w, ("value",)).explain("simple")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_bilinear_weights_reproduce_linear_field(spark):
+    """Defining property of bilinear interpolation: exact on any field
+    linear in (lat, lon), for every interior destination point; weights
+    sum to 1 everywhere (including clamped out-of-extent points)."""
+    from pyspark.sql import functions as F
+
+    from ecmwf_models_spark.operators.remap import (
+        bilinear_weights_2d,
+        remap_weighted,
+    )
+
+    nlat = nlon = 8
+    src = spark.range(nlat * nlon).select(
+        F.col("id").cast("int").alias("cell_id"),
+        (
+            3.0
+            + 2.0 * F.expr("id div 8").cast("double")
+            + 0.5 * (F.col("id") % 8).cast("double")
+        ).alias("val"),  # 3 + 2*lat + 0.5*lon on the unit grid
+    )
+    nd = 30
+    dst = spark.range(nd * nd).select(
+        F.col("id").cast("int").alias("gpi"),
+        (F.expr("id div 30") * F.lit(0.25)).alias("lat"),
+        ((F.col("id") % 30) * F.lit(0.25)).alias("lon"),
+    )
+    w = bilinear_weights_2d(dst, 0.0, 1.0, nlat, 0.0, 1.0, nlon)
+    out = remap_weighted(src, w, ("val",)).collect()
+    assert len(out) == nd * nd
+    for r in out:
+        lat = (r["dst_cell"] // nd) * 0.25
+        lon = (r["dst_cell"] % nd) * 0.25
+        assert abs(r["w_sum"] - 1.0) < 1e-12
+        if lat <= 7.0 and lon <= 7.0:  # interior: exact
+            assert abs(r["val_remap"] - (3.0 + 2.0 * lat + 0.5 * lon)) < 1e-9
+        else:  # clamped: value of the boundary-clamped coordinates
+            cl, cn = min(lat, 7.0), min(lon, 7.0)
+            assert abs(r["val_remap"] - (3.0 + 2.0 * cl + 0.5 * cn)) < 1e-9
+
+
+def test_nearest_weights_pick_closest_node(spark):
+    from pyspark.sql import functions as F
+
+    from ecmwf_models_spark.operators.remap import nearest_weights_2d
+
+    dst = spark.createDataFrame(
+        [(0, 2.2, 3.6), (1, 0.5, 0.49), (2, 9.0, -1.0)],
+        "gpi int, lat double, lon double",
+    )
+    got = {
+        r["dst_cell"]: r["src_cell"]
+        for r in nearest_weights_2d(dst, 0.0, 1.0, 8, 0.0, 1.0, 8).collect()
+    }
+    assert got[0] == 2 * 8 + 4          # (2.2, 3.6) -> node (2, 4)
+    assert got[1] == 1 * 8 + 0          # 0.5 rounds half-up to 1, 0.49 -> 0
+    assert got[2] == 7 * 8 + 0          # clamped to corner row/col
