@@ -6,6 +6,7 @@ download / update_img / reshuffle / update_ts) mapped to the engine:
     python -m ecmwf_models_spark.cli rollup    --silver DIR --out DIR --tiers hourly,daily,monthly
     python -m ecmwf_models_spark.cli extend    --silver DIR --bronze DIR
     python -m ecmwf_models_spark.cli read      --silver DIR --conv-id ID
+    python -m ecmwf_models_spark.cli update-img --bronze DIR --out DIR
     python -m ecmwf_models_spark.cli bench     [--sf-dir DIR --cpus N]
 
 On a real cluster each subcommand is the driver program for
@@ -123,6 +124,26 @@ def cmd_read(args):
     print(pdf.to_string())
 
 
+def cmd_update_img(args):
+    """Streaming ingest pass — the reference's first-class `era5 update`
+    image-extension command (reference cli.py:271-310 update_images):
+    process every bronze file not yet in the checkpoint into the hourly
+    stream rollup, then stop (Trigger.AvailableNow). Rerunning after new
+    files land processes only the delta."""
+    from .streaming.ingest import run_available_now
+
+    spark = _spark(args)
+    run_available_now(
+        spark,
+        input_dir=args.bronze,
+        out_dir=args.out,
+        checkpoint_dir=args.checkpoint or f"{args.out}/_checkpoint",
+        watermark=args.watermark,
+    )
+    n = spark.read.parquet(args.out).count()
+    print(f"update-img: hourly stream table at {args.out} has {n} rows")
+
+
 def cmd_bench(args):
     import os
 
@@ -187,6 +208,16 @@ def main(argv=None):
         help="default: the value persisted at reshuffle time",
     )
     s.set_defaults(fn=cmd_read)
+
+    s = sub.add_parser("update-img")
+    s.add_argument("--bronze", required=True, help="bronze file-stream dir")
+    s.add_argument("--out", required=True)
+    s.add_argument(
+        "--checkpoint", default=None,
+        help="default: <out>/_checkpoint (resume state, plays overview.yml)",
+    )
+    s.add_argument("--watermark", default="2 hours")
+    s.set_defaults(fn=cmd_update_img)
 
     s = sub.add_parser("bench")
     s.add_argument("--sf-dir", default=None)

@@ -99,3 +99,23 @@ def resolve_col(
         df[name_col] == aliases["alias"],
         "left",
     ).drop("alias")
+
+
+def attrs_for(columns: list[str]) -> dict[str, dict[str, str]]:
+    """Per-variable attrs (units, long_name, dl_name) for the given
+    columns, from the LUT — the reference's variable-attribute dicts
+    carried from source to output (reference interface.py:185,496-502
+    applies units/long_name to every written variable;
+    era5/reshuffle.py:206-207 passes them into Img2Ts). Columns absent
+    from the LUT get no entry (caller decides whether that's an error)."""
+    by_short = {r["short_name"]: r for r in load_var_table()}
+    out: dict[str, dict[str, str]] = {}
+    for c in columns:
+        r = by_short.get(c)
+        if r is not None:
+            out[c] = {
+                "units": r.get("units", ""),
+                "long_name": r["long_name"],
+                "dl_name": r["dl_name"],
+            }
+    return out

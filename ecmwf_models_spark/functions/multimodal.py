@@ -64,41 +64,48 @@ def gen_media(spark, n: int = 64, width: int = 16, height: int = 12) -> DataFram
 
 def image_features(media: DataFrame, resize_to: tuple[int, int] = (4, 4)) -> DataFrame:
     """Decode -> resize -> mean-pool features for image rows. Batch-shaped:
-    one Arrow batch in, one out; per-image numpy only (no per-pixel
-    Python)."""
+    one Arrow batch in, one out. Decode is necessarily per-image (a real
+    libjpeg call is too), but ALL the feature math — nearest-neighbour
+    resize, channel pooling, luminance — runs once per (width, height)
+    group as a single stacked-ndarray operation, not per image."""
     rh, rw = resize_to
     out_schema = (
         "media_id long, feat array<float>, mean_lum float, "
         "out_h int, out_w int"
     )
+    cols = ["media_id", "feat", "mean_lum", "out_h", "out_w"]
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "image"]
-            rows = []
-            for mid, data, w, h in zip(
-                pdf["media_id"], pdf["data"], pdf["width"], pdf["height"]
-            ):
-                img = _decode_image_stub(bytes(data), int(w), int(h))
-                # nearest-neighbour resize via integer index grids
-                yi = (np.arange(rh) * img.shape[0] // rh)[:, None]
-                xi = (np.arange(rw) * img.shape[1] // rw)[None, :]
-                small = img[yi, xi]
-                rows.append(
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            for (w, h), grp in pdf.groupby(["width", "height"], sort=False):
+                w, h = int(w), int(h)
+                imgs = np.stack(
+                    [_decode_image_stub(bytes(d), w, h) for d in grp["data"]]
+                )  # (n, h, w, 3) — one ndarray for the whole size-group
+                yi = np.arange(rh) * h // rh
+                xi = np.arange(rw) * w // rw
+                small = imgs[:, yi[:, None], xi[None, :], :]  # (n,rh,rw,3)
+                feats = (
+                    small.mean(axis=3)
+                    .reshape(len(grp), rh * rw)
+                    .astype(np.float32)
+                )
+                yield pd.DataFrame(
                     {
-                        "media_id": mid,
-                        "feat": small.mean(axis=2).ravel().astype(
+                        "media_id": grp["media_id"].to_numpy(),
+                        "feat": list(feats),
+                        "mean_lum": imgs.mean(axis=(1, 2, 3)).astype(
                             np.float32
-                        ).tolist(),
-                        "mean_lum": np.float32(img.mean()),
+                        ),
                         "out_h": rh,
                         "out_w": rw,
-                    }
+                    },
+                    columns=cols,
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "feat", "mean_lum", "out_h", "out_w"],
-            )
 
     return media.mapInPandas(_proc, schema=out_schema)
 

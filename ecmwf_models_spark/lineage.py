@@ -117,6 +117,51 @@ def read_run_settings(spark: SparkSession, path: str) -> dict:
     return {r["key"]: r["value"] for r in rows}
 
 
+ATTRS_SCHEMA = T.StructType(
+    [
+        T.StructField("var", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("committed_at", T.DoubleType()),
+    ]
+)
+
+
+def write_table_attrs(
+    spark: SparkSession, path: str, attrs: dict[str, dict[str, str]]
+) -> None:
+    """Persist per-variable attrs (units, long_name, ...) next to the
+    table — the reference carries these dicts from source to every output
+    file (interface.py:185,496-502; era5/reshuffle.py:206-207 hands them
+    to Img2Ts). Underscore-prefixed dir so data scans skip it;
+    append-only, latest committed_at wins (same protocol as _settings)."""
+    now = time.time()
+    rows = [
+        (var, k, str(v), now)
+        for var, kv in attrs.items()
+        for k, v in kv.items()
+    ]
+    if not rows:
+        return
+    spark.createDataFrame(rows, ATTRS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def read_table_attrs(spark: SparkSession, path: str) -> dict[str, dict[str, str]]:
+    """Latest attrs per (var, key); {} when no sidecar exists."""
+    df = _read_or_empty(spark, path, ATTRS_SCHEMA)
+    rows = (
+        df.groupBy("var", "key")
+        .agg(F.max_by("value", "committed_at").alias("value"))
+        .collect()
+    )  # bounded: a few attrs per variable
+    out: dict[str, dict[str, str]] = {}
+    for r in rows:
+        out.setdefault(r["var"], {})[r["key"]] = r["value"]
+    return out
+
+
 class ResumableTierWriter:
     """Write a cell-partitioned tier with per-cell lineage + resume.
 
@@ -188,6 +233,13 @@ class ResumableTierWriter:
         self.spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.lineage_dir)
+        # propagate per-variable attrs into the tier (latest-wins append;
+        # a resumed run re-appending identical rows is harmless)
+        from .functions.lut import attrs_for
+
+        write_table_attrs(
+            self.spark, f"{self.out_dir}/_meta", attrs_for(df.columns)
+        )
         if crash:
             raise RuntimeError(
                 f"simulated crash after {len(todo)} of {len(cells)} cells"

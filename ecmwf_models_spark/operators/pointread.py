@@ -43,8 +43,14 @@ class TsReader:
         offsets: dict[str, float] | None = None,
         scale_factors: dict[str, float] | None = None,
     ):
+        from ..lineage import read_table_attrs
+
         self.spark = spark
         self.silver = spark.read.parquet(silver_path)
+        # per-variable attrs written by write_silver / the tier writer —
+        # the reference reads these back onto the returned dataset
+        # (interface.py:185; GriddedNcOrthoMultiTs variable attrs)
+        self.attrs = read_table_attrs(spark, f"{silver_path}/_meta")
         self.n_cells = n_cells
         self.read_bulk = read_bulk
         self.parameters = parameters
@@ -76,7 +82,12 @@ class TsReader:
         for c, off in self.offsets.items():
             df = df.withColumn(c, F.col(c) + F.lit(off))
         pdf = df.toPandas()
-        return pdf.set_index("ts") if "ts" in pdf.columns else pdf
+        pdf = pdf.set_index("ts") if "ts" in pdf.columns else pdf
+        # pandas-native attrs carry: units/long_name per variable
+        pdf.attrs["var_attrs"] = {
+            c: self.attrs[c] for c in pdf.columns if c in self.attrs
+        }
+        return pdf
 
     def close(self):
         for df in self._cell_cache.values():

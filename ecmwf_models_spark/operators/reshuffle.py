@@ -147,10 +147,23 @@ def reshuffle(
     return out.sortWithinPartitions("cell_id", "conv_id", "ts", "turn_idx")
 
 
-def write_silver(silver: DataFrame, path: str) -> None:
+def write_silver(
+    silver: DataFrame, path: str, attrs: dict | None = None
+) -> None:
     """Cell-partitioned write — one directory per cell ≙ one <cell>.nc file
-    (reference tests/tests_era5/test_era5_reshuffle.py:99: '1431.nc')."""
+    (reference tests/tests_era5/test_era5_reshuffle.py:99: '1431.nc').
+    Per-variable attrs (units/long_name from the LUT, or caller-supplied)
+    ride along in a <path>/_meta sidecar, the reference's
+    variable-attribute propagation (interface.py:185,496-502)."""
     silver.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    from ..functions.lut import attrs_for
+    from ..lineage import write_table_attrs
+
+    write_table_attrs(
+        silver.sparkSession,
+        f"{path}/_meta",
+        attrs if attrs is not None else attrs_for(silver.columns),
+    )
 
 
 def read_silver(spark, path: str) -> DataFrame:

@@ -1334,6 +1334,53 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------- multimodal plumbing (oracle)
+
+def q_media_plumbing(spark, sf_dir):
+    """Multimodal plumbing arithmetic, oracled: video frame sampling
+    (sequence+explode row grain) and audio windowing (samples/window from
+    sample_rate) over the deterministic synthetic media table
+    (functions/multimodal.py frame_sample / audio_window_plumbing). The
+    binary decode itself stays a declared stub — this grades everything
+    around it that IS pure arithmetic."""
+    from ..functions.multimodal import (
+        audio_window_plumbing,
+        frame_sample,
+        gen_media,
+    )
+
+    m = gen_media(spark, n=90)
+    frames = frame_sample(m, every_k=2).select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.col("frame_idx").cast("long").alias("v"),
+    )
+    audio = audio_window_plumbing(m, win_ms=25).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.col("samples_per_window").cast("long").alias("v"),
+    )
+    return frames.union(audio)
+
+
+ORACLE_MEDIA_PLUMBING = """
+WITH m AS (
+  SELECT g AS media_id,
+         ['image', 'audio', 'video'][(g % 3) + 1] AS kind,
+         16000 AS sample_rate,
+         (g % 8) + 1 AS n_frames
+  FROM generate_series(0, 89) t(g)
+)
+SELECT media_id, 'video' AS kind, CAST(u.f AS BIGINT) AS v
+FROM m, unnest(range(0, n_frames, 2)) AS u(f)
+WHERE kind = 'video'
+UNION ALL
+SELECT media_id, 'audio' AS kind,
+       CAST(floor(sample_rate * 25 / 1000.0) AS BIGINT) AS v
+FROM m WHERE kind = 'audio'
+"""
+
+
 # ------------------------------------------- landmask derivation (A3/P5)
 
 def q_landmask_derive(spark, sf_dir):
@@ -1502,6 +1549,7 @@ QUERIES = {
     "remap_weighted": q_remap_weighted,
     "remap_bilinear": q_remap_bilinear,
     "remap_nearest": q_remap_nearest,
+    "media_plumbing": q_media_plumbing,
     "scalar_roundtrip": q_scalar_roundtrip,
     "float_axes": q_float_axes,
     "mask_and_fill": q_mask_and_fill,
@@ -1545,6 +1593,7 @@ ORACLES = {
     "remap_weighted": _oracle_remap(),
     "remap_bilinear": ORACLE_REMAP_BILINEAR,
     "remap_nearest": ORACLE_REMAP_NEAREST,
+    "media_plumbing": ORACLE_MEDIA_PLUMBING,
     "scalar_roundtrip": ORACLE_SCALAR,
     "float_axes": ORACLE_FLOAT_AXES,
     "mask_and_fill": ORACLE_MASK_FILL,

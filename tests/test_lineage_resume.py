@@ -78,3 +78,41 @@ def test_lineage_rows_complete(tmp_path, spark, daily_with_cells):
     assert lrows.where(F.col("row_count") <= 0).count() == 0
     total = lrows.agg(F.sum("row_count")).first()[0]
     assert total == daily_with_cells.count()
+
+
+def test_attrs_propagate_reshuffle_rollup_read(tmp_path, spark, bronze):
+    """Per-variable attrs (units/long_name from the LUT) must survive
+    reshuffle -> tier write -> point read — the reference's attribute
+    propagation contract (interface.py:185,496-502,
+    era5/reshuffle.py:206-207)."""
+    from ecmwf_models_spark.lineage import read_table_attrs
+    from ecmwf_models_spark.operators.pointread import TsReader
+    from ecmwf_models_spark.operators.reshuffle import write_silver
+
+    silver_path = str(tmp_path / "silver")
+    silver = reshuffle(bronze, n_cells=16, num_partitions=8)
+    write_silver(silver, silver_path)
+
+    # silver sidecar carries LUT attrs for every LUT-known column
+    sa = read_table_attrs(spark, f"{silver_path}/_meta")
+    assert sa["text_len"]["units"] == "chars"
+    assert sa["text_len"]["long_name"] == "Turn text length"
+    assert sa["tool_call"]["units"] == "flag"
+
+    # tier write propagates attrs for tier columns
+    daily = with_cell_id(finalize(rollup_from_raw(silver, "daily")), 16)
+    w = ResumableTierWriter(
+        spark, str(tmp_path / "daily"), str(tmp_path / "lin"), tier="daily"
+    )
+    w.run(daily)
+    ta = read_table_attrs(spark, str(tmp_path / "daily") + "/_meta")
+    assert ta["text_len_sum"]["units"] == "chars"
+    assert ta["n_turns"]["long_name"] == "Turns per bucket"
+
+    # TsReader surfaces them on the returned frame
+    r = TsReader(spark, silver_path, n_cells=16)
+    conv = silver.select("conv_id").first()[0]
+    pdf = r.read(conv)
+    assert pdf.attrs["var_attrs"]["text_len"]["units"] == "chars"
+    # tier table readable by spark despite the _meta sidecar
+    assert spark.read.parquet(str(tmp_path / "daily")).count() > 0
