@@ -127,10 +127,10 @@ def best_of(runs: list[dict]) -> dict:
 
 def main():
     extra = {
-        "BENCH_N_CONV": os.environ.get("BENCH_N_CONV", "200000"),
+        "BENCH_N_CONV": os.environ.get("BENCH_N_CONV", "600000"),
         "BENCH_DAYS": os.environ.get("BENCH_DAYS", "90"),
     }
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "10"))
     pyfiles = build_pyfiles_zip()
 
     # PAIRED measurement: the shared host's available CPU drifts
@@ -138,8 +138,8 @@ def main():
     # than the engine run it normalizes is meaningless (observed: the
     # same probe giving 3.28x and 3.94x an hour apart). Each rep
     # interleaves probe(N) -> engine(N) -> probe(4N) -> engine(4N), and
-    # efficiency is computed WITHIN the rep; the headline is the best
-    # rep (least-contended window), with every rep recorded.
+    # efficiency is computed WITHIN the rep; the headline is the TRUE
+    # MEDIAN over drift-valid windows, with every rep recorded.
     pairs = []
     runs_x = []
     if os.environ.get("BENCH_MERGE") == "1":
@@ -170,23 +170,32 @@ def main():
             runs_x.append(run_at(N_EXTRA, extra, pyfiles))
         print(json.dumps({"rep": i, **pair}), file=sys.stderr)
 
-    # a pair with super-linear raw efficiency is physically impossible
-    # without cross-minute drift (the low run hit a contended window the
-    # high run didn't) — exclude such windows from the headline rather
-    # than cherry-picking them
-    valid = [p for p in pairs if p["eff_raw"] <= 1.1] or pairs
-    med_pair = sorted(valid, key=lambda p: p["eff_vs_hw"])[len(valid) // 2]
-    med = med_pair["eff_vs_hw"]
-    med_raw = sorted(p["eff_raw"] for p in valid)[len(valid) // 2]
+    # EXCLUSION RULE (exactly what BASELINE.md states, nothing else):
+    # a window with eff_raw > 1.0 — engine speedup exceeding the core
+    # ratio — is physically impossible on a fixed machine and can only
+    # mean cross-minute drift (the low run hit a contended minute the
+    # high run didn't), so it is excluded from every headline statistic.
+    # eff_vs_hw > 1 is NOT excluded: the probe (sha256) and the engine
+    # are different workloads, and the engine legitimately scaling a bit
+    # better than the probe in some window is evidence, not an artifact.
+    valid = [p for p in pairs if p["eff_raw"] <= 1.0] or pairs
+
+    def true_median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        n = len(xs)
+        mid = n // 2
+        return round(
+            xs[mid] if n % 2 else (xs[mid - 1] + xs[mid]) / 2, 3
+        )
+
+    med_raw = true_median([p["eff_raw"] for p in valid])
+    med_vs_hw = true_median([p["eff_vs_hw"] for p in valid])
+    med_speedup = true_median([p["speedup"] for p in valid])
+    med_hw = true_median([p["hw_speedup"] for p in valid])
     lo = best_of([p["lo"] for p in pairs])
     hi = best_of([p["hi"] for p in pairs])
     xtra = best_of(runs_x) if runs_x else None
 
-    # HEADLINE = median valid window (robust), not the best
-    speedup = med_pair["speedup"]
-    hw_speedup = med_pair["hw_speedup"]
-    eff = med_raw
-    eff_vs_hw = med
     result = {
         "n_low": lo,
         "n_high": hi,
@@ -194,20 +203,25 @@ def main():
         "reps": len(pairs),
         "pairs": pairs,
         "n_valid_pairs": len(valid),
-        "headline_pair": med_pair,
-        "median_eff_vs_hw": med,
+        "n_excluded_superlinear": len(pairs) - len(valid),
+        # TRUE medians over drift-valid windows (even count -> mean of
+        # the middle two), raw and normalized both reported, no either/or
+        # blending: each has its own pass flag against the 0.8 target
+        "median_speedup": med_speedup,
+        "median_hw_speedup": med_hw,
         "median_eff_raw": med_raw,
+        "median_eff_vs_hw": med_vs_hw,
         "hw_probe": {
             "cores_low": N_LOW,
             "cores_high": N_HIGH,
-            "hw_speedup": hw_speedup,
             "method": "paired per-rep probes (same-minute normalization)",
         },
-        f"speedup_{N_LOW}_to_{N_HIGH}": round(speedup, 3),
-        "scaling_efficiency": eff,
-        "scaling_efficiency_vs_hw_ceiling": eff_vs_hw,
+        f"speedup_{N_LOW}_to_{N_HIGH}": med_speedup,
+        "scaling_efficiency": med_raw,
+        "scaling_efficiency_vs_hw_ceiling": med_vs_hw,
         "target": 0.8,
-        "pass": eff >= 0.8 or eff_vs_hw >= 0.8,
+        "pass_raw": med_raw >= 0.8,
+        "pass_vs_hw": med_vs_hw >= 0.8,
     }
     with open(os.path.join(HERE, "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
@@ -221,6 +235,7 @@ def main():
         f"| {p['lo']['elapsed_sec']} | {p['hi']['elapsed_sec']} | "
         f"{p['speedup']} | {p['hw_speedup']} | {p['eff_raw']} | "
         f"{p['eff_vs_hw']} |"
+        f"{' excluded (eff_raw > 1.0)' if p['eff_raw'] > 1.0 else ''}"
         for p in pairs
     )
     md = f"""# BENCH/BASELINE.md — scaling evidence (north rule)
@@ -253,12 +268,28 @@ two efficiencies coincide. All {len(pairs)} paired reps:
 |---|---|---|---|---|---|
 {pair_rows}
 
-Headline = the MEDIAN drift-valid window (pairs with eff_raw > 1.1 are
-physically impossible without cross-minute drift and are excluded from
-the headline; every pair is shown above): speedup **{speedup}x** against
-a same-minute hardware ceiling of **{hw_speedup}x** -> efficiency vs
-ceiling **{eff_vs_hw}**, raw efficiency **{eff}**
-(target >= 0.8: {"PASS" if eff_vs_hw >= 0.8 or eff >= 0.8 else "FAIL"}).
+Exclusion rule (applied in run_scaling.py, identically to this prose):
+a window with eff_raw > 1.0 — engine speedup exceeding the {ratio:.0f}x
+core ratio — is physically impossible on a fixed machine and means the
+low run hit a contended minute the high run didn't; such windows
+({result['n_excluded_superlinear']} of {len(pairs)} here) are dropped
+from every headline statistic. Windows with eff_vs_hw > 1 are kept: the
+probe is a different workload and the engine legitimately out-scaling it
+in a window is evidence, not an artifact.
+
+Headline = the TRUE MEDIAN over the {len(valid)} drift-valid windows
+(even count -> mean of the middle two; no best-of, no upper-median):
+median speedup **{med_speedup}x**, median same-minute hardware ceiling
+**{med_hw}x**; median raw efficiency **{med_raw}**
+(target >= 0.8: {"PASS" if result['pass_raw'] else "FAIL"}), median
+efficiency vs hardware ceiling **{med_vs_hw}**
+(target >= 0.8: {"PASS" if result['pass_vs_hw'] else "FAIL"}).
+Both statistics are reported in scaling.json (`pass_raw`,
+`pass_vs_hw`); raw efficiency on this box is bounded by the hardware's
+own sub-{ratio:.0f}x scaling between the same pinned core sets (the
+probe's median says what the box could do in those same minutes), which
+is why the normalized number is the one that predicts multi-executor
+behavior on real silicon.
 
 ## Best-of throughput per level
 
