@@ -78,39 +78,65 @@ def hw_probe(procs: int, total: int = 32_000_000) -> float:
     return total / (time.time() - t0)
 
 
+GB_PER_CORE_HEAP = 2  # executor-model memory: scales with "cluster size"
+GB_PER_CORE_OFFHEAP = 2
+MEM_CAP_GB = 16  # per-region cap (the 32-core absolute point stays 16+16)
+
+
 def run_at(cpus: int, env_extra: dict, pyfiles: str) -> dict:
+    """One engine run at `cpus` cores, emulating an N-executor cluster
+    faithfully in three ways a bare local[N] run would not:
+
+    * taskset pin: local[N] caps TASK SLOTS, not JVM CPU — GC, netty and
+      parquet IO threads would otherwise spread over all 32 host cores
+      and flatter the low-parallelism runs.
+    * memory scales with cores (2g heap + 2g off-heap per core, capped
+      at 16+16): on a real cluster 4N executors bring 4x the aggregate
+      memory; a fixed-size JVM would hand the LOW level a 4x
+      memory-per-core advantage the cluster does not have.
+    * spark.local.dir (shuffle files, block-manager spill) and the job's
+      output directory live on tmpfs (/dev/shm): per-executor local SSDs
+      and distributed-storage bandwidth scale with cluster size, while
+      this sandbox's single shared /dev/vda does not — a non-scaling
+      artifact of the box, not of the engine.
+    """
+    heap = min(GB_PER_CORE_HEAP * cpus, MEM_CAP_GB)
+    offheap = min(GB_PER_CORE_OFFHEAP * cpus, MEM_CAP_GB)
+    shm_dir = f"/dev/shm/spark_scaling_{cpus}"
+    os.makedirs(shm_dir, exist_ok=True)
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_VIA_SUBMIT"] = "1"
+    env["SPARK_GRAFT_OFFHEAP_SIZE"] = f"{offheap}g"
+    env["TMPDIR"] = shm_dir  # scaling_job's output tempdirs -> tmpfs
     env.update(env_extra)
-    submit = shutil.which("spark-submit")
-    # local[N] caps TASK SLOTS, not JVM CPU: GC, netty and parquet IO
-    # threads would still spread over all 32 host cores and flatter the
-    # low-parallelism runs. taskset pins the whole process tree to N
-    # cores — the faithful stand-in for an N-core executor.
     pin = (
         ["taskset", "-c", f"0-{cpus - 1}"]
         if shutil.which("taskset")
         else []
     )
+    submit = shutil.which("spark-submit")
     if submit:
         cmd = pin + [
             submit,
             "--master", f"local[{cpus}]",
             # builder-time spark.driver.memory is ignored once the JVM is
             # up; in local mode the driver IS the executor, so size it here
-            # 16g heap + off-heap Tungsten (session.py): execution
-            # buffers off the GC heap — the round-2 fix for the 48g-heap
-            # GC cliff at high thread counts
-            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "16g"),
+            "--driver-memory", f"{heap}g",
+            "--conf", f"spark.local.dir={shm_dir}",
             "--py-files", pyfiles,
             os.path.join(HERE, "scaling_job.py"),
         ]
     else:  # fallback: plain python (same code path, package on sys.path)
+        env["SPARK_DRIVER_MEM"] = f"{heap}g"
+        env["SPARK_LOCAL_DIRS"] = shm_dir
         cmd = pin + [sys.executable, os.path.join(HERE, "scaling_job.py")]
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, env=env, timeout=3600
-    )
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, timeout=3600
+        )
+    finally:
+        shutil.rmtree(shm_dir, ignore_errors=True)
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-4000:])
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -151,10 +177,20 @@ def main():
         except (OSError, KeyError, ValueError):
             pass
     for i in range(reps):
-        hw_lo_i = hw_probe(N_LOW)
-        lo_i = run_at(N_LOW, extra, pyfiles)
-        hw_hi_i = hw_probe(N_HIGH)
-        hi_i = run_at(N_HIGH, extra, pyfiles)
+        # alternate which level runs first: if the host's available CPU
+        # drifts monotonically across a window, always-lo-first would bias
+        # every pair the same way; alternation cancels the trend in the
+        # median. Each probe runs immediately before its engine run.
+        if i % 2 == 0:
+            hw_lo_i = hw_probe(N_LOW)
+            lo_i = run_at(N_LOW, extra, pyfiles)
+            hw_hi_i = hw_probe(N_HIGH)
+            hi_i = run_at(N_HIGH, extra, pyfiles)
+        else:
+            hw_hi_i = hw_probe(N_HIGH)
+            hi_i = run_at(N_HIGH, extra, pyfiles)
+            hw_lo_i = hw_probe(N_LOW)
+            lo_i = run_at(N_LOW, extra, pyfiles)
         hw_sp = hw_hi_i / hw_lo_i
         sp = lo_i["elapsed_sec"] / hi_i["elapsed_sec"]
         pair = {
@@ -248,13 +284,28 @@ rollup cascade (written) -> gap-fill. Input: deterministic synthetic
 transcripts, {lo['n_turns']:,} turns. JIT warmup pass excluded (long-lived
 executors are warm on a real cluster).
 
+## Executor-model harness
+
+Each level emulates an N-executor cluster, not a bare local[N]:
+taskset pins the whole process tree to N cores (local[N] caps task
+slots, not JVM threads); JVM memory scales with cores ({GB_PER_CORE_HEAP}g
+heap + {GB_PER_CORE_OFFHEAP}g off-heap per core, capped {MEM_CAP_GB}+{MEM_CAP_GB}g —
+on a real cluster 4N executors bring 4x aggregate memory, so a
+fixed-size JVM would hand the LOW level a 4x memory-per-core advantage
+the cluster does not have); and spark.local.dir + job output live on
+tmpfs, because per-executor local SSDs and distributed-storage
+bandwidth scale with cluster size while this sandbox's single shared
+/dev/vda does not — a non-scaling artifact of the box, not the engine.
+
 ## Paired measurement protocol
 
 This sandbox is a shared/overcommitted VM whose available CPU drifts
 minute-to-minute (the same pure-CPU probe measured 3.28x and 3.94x
 hardware scaling an hour apart). So every rep interleaves, within one
 window: probe({N_LOW} cores) -> engine({N_LOW}) -> probe({N_HIGH}) ->
-engine({N_HIGH}), and efficiency is computed WITHIN the rep:
+engine({N_HIGH}) (level order alternating per rep, so a monotone host
+drift cannot bias every pair the same way), and efficiency is computed
+WITHIN the rep:
 
     eff_raw    = (t_N / t_4N) / {ratio:.0f}
     eff_vs_hw  = (t_N / t_4N) / hw_speedup_of_that_window

@@ -155,6 +155,117 @@ def nearest_weights_2d(
     )
 
 
+def idw_weights_2d(
+    dst_points: DataFrame,
+    lat0: float,
+    dlat: float,
+    nlat: int,
+    lon0: float,
+    dlon: float,
+    nlon: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "gpi",
+) -> DataFrame:
+    """Inverse-distance weights over the 4 surrounding nodes — the
+    reference's `dis` CDO method (era5/download.py:290-298). For each dst
+    point the corner set is the bilinear one (clamped at edges); weights
+    are 1/d normalized to sum 1, with an exact-node hit (d == 0) taking
+    the whole weight.
+
+    The normalizer is a single fixed-order scalar expression
+    ((1/d1 + 1/d2) + 1/d3) + 1/d4 computed BEFORE the corner explode —
+    not a window/group sum, whose 4-term accumulation order would be
+    engine-dependent. sqrt, + and / are correctly-rounded IEEE ops, so
+    the weights reproduce bit-for-bit in any engine, and the whole
+    builder is narrow column arithmetic: zero shuffles, zero UDFs."""
+    fy = (F.col(lat_col) - F.lit(float(lat0))) / F.lit(float(dlat))
+    fx = (F.col(lon_col) - F.lit(float(lon0))) / F.lit(float(dlon))
+    i0 = F.least(
+        F.greatest(F.floor(fy), F.lit(0)), F.lit(nlat - 2)
+    ).cast("int")
+    j0 = F.least(
+        F.greatest(F.floor(fx), F.lit(0)), F.lit(nlon - 2)
+    ).cast("int")
+    ty = F.least(F.greatest(fy - i0, F.lit(0.0)), F.lit(1.0))
+    tx = F.least(F.greatest(fx - j0, F.lit(0.0)), F.lit(1.0))
+    one = F.lit(1.0)
+
+    def _d(dy, dx):
+        return F.sqrt(dy * dy + dx * dx)
+
+    ds = [
+        _d(ty, tx),
+        _d(ty, one - tx),
+        _d(one - ty, tx),
+        _d(one - ty, one - tx),
+    ]
+    cells = [
+        i0 * nlon + j0,
+        i0 * nlon + j0 + 1,
+        (i0 + 1) * nlon + j0,
+        (i0 + 1) * nlon + j0 + 1,
+    ]
+    dmin = F.least(*ds)
+    norm = ((one / ds[0] + one / ds[1]) + one / ds[2]) + one / ds[3]
+    corners = F.array(
+        *[
+            F.struct(
+                c.alias("src_cell"),
+                F.when(
+                    dmin == 0,
+                    F.when(d == 0, one).otherwise(F.lit(0.0)),
+                )
+                .otherwise((one / d) / norm)
+                .alias("w"),
+            )
+            for c, d in zip(cells, ds)
+        ]
+    )
+    return (
+        dst_points.select(
+            F.col(id_col).alias("dst_cell"), F.explode(corners).alias("c")
+        )
+        .select("dst_cell", "c.src_cell", "c.w")
+        .where(F.col("w") > 0)
+    )
+
+
+def remap_laf(
+    fact: DataFrame,
+    weights: DataFrame,
+    value_col: str,
+    src_key: str = "cell_id",
+    carry_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Largest-area-fraction remap for CATEGORICAL fields — the
+    reference's `laf` CDO method (era5/download.py:290-298): each dst
+    cell takes the value of the src cell contributing the largest overlap
+    weight. Expects one fact row per src cell (a gridded categorical
+    field). Deterministic ties: the lower src_cell wins (max over
+    (w, -src_cell)). Same broadcast-join shape as remap_weighted."""
+    joined = fact.join(
+        F.broadcast(weights), fact[src_key] == weights["src_cell"]
+    )
+    pick = F.max(
+        F.struct(
+            F.col("w").alias("w"),
+            (-F.col("src_cell")).alias("_neg_src"),
+            F.col(value_col).alias("v"),
+        )
+    ).alias("_m")
+    return (
+        joined.groupBy("dst_cell", *[F.col(k) for k in carry_keys])
+        .agg(pick)
+        .select(
+            "dst_cell",
+            *carry_keys,
+            F.col("_m.v").alias(f"{value_col}_laf"),
+            F.col("_m.w").alias("laf_w"),
+        )
+    )
+
+
 def remap_weighted(
     fact: DataFrame,
     weights: DataFrame,

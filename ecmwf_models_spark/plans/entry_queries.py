@@ -1334,6 +1334,128 @@ GROUP BY 1
 """
 
 
+def q_remap_idw(spark, sf_dir):
+    """A1 variant, 2-D: inverse-distance remap (`dis` in the reference
+    method list, era5/download.py:290-298) through the same weights-table
+    apply path. The quarter-step dst grid hits source nodes exactly at
+    integer coords, exercising the d == 0 whole-weight branch."""
+    from ..operators.remap import idw_weights_2d, remap_weighted
+
+    w = idw_weights_2d(
+        _dst_points_quarter(spark), 0.0, 1.0, 8, 0.0, 1.0, 8
+    )
+    out = remap_weighted(_src_field_8x8(spark, sf_dir), w, ("val",))
+    return out.select(
+        "dst_cell",
+        R6(F.col("val_remap")).alias("val_remap"),
+        R6(F.col("w_sum")).alias("w_sum"),
+    )
+
+
+def q_remap_laf(spark, sf_dir):
+    """A1 variant, 2-D: largest-area-fraction remap for categorical
+    fields (`laf` in the reference method list) — each dst point takes
+    the category of the max-weight contributing src cell, ties to the
+    lower src_cell. Weight ties are real on the quarter grid (ty or tx
+    == 0.5 gives equal corner pairs), so the tie-break is exercised."""
+    from ..operators.remap import bilinear_weights_2d, remap_laf
+
+    w = bilinear_weights_2d(
+        _dst_points_quarter(spark), 0.0, 1.0, 8, 0.0, 1.0, 8
+    )
+    fact = _src_field_8x8(spark, sf_dir).select(
+        "cell_id", (F.col("cell_id") % 7).cast("int").alias("cat")
+    )
+    out = remap_laf(fact, w, "cat")
+    return out.select(
+        "dst_cell", "cat_laf", R6(F.col("laf_w")).alias("laf_w")
+    )
+
+
+# The IDW oracle recomputes the 4 corner distances and the FIXED-ORDER
+# normalizer ((1/d1 + 1/d2) + 1/d3) + 1/d4 — SQL + is left-associative,
+# matching idw_weights_2d's explicit parenthesization, and sqrt / + / /
+# are correctly-rounded IEEE ops in both engines.
+ORACLE_REMAP_IDW = f"""
+WITH {_ORACLE_FIELD_AND_DST}, p AS (
+  SELECT dst_cell,
+         least(greatest(floor(lat / 1.0), 0), 6) AS i0,
+         least(greatest(floor(lon / 1.0), 0), 6) AS j0,
+         least(greatest(lat / 1.0 - least(greatest(floor(lat / 1.0), 0), 6),
+                        0.0), 1.0) AS ty,
+         least(greatest(lon / 1.0 - least(greatest(floor(lon / 1.0), 0), 6),
+                        0.0), 1.0) AS tx
+  FROM d
+), pd AS (
+  SELECT dst_cell, i0, j0,
+         sqrt(ty * ty + tx * tx) AS d1,
+         sqrt(ty * ty + (1.0 - tx) * (1.0 - tx)) AS d2,
+         sqrt((1.0 - ty) * (1.0 - ty) + tx * tx) AS d3,
+         sqrt((1.0 - ty) * (1.0 - ty) + (1.0 - tx) * (1.0 - tx)) AS d4
+  FROM p
+), pn AS (
+  SELECT *, least(d1, d2, d3, d4) AS dmin,
+         ((1.0 / d1 + 1.0 / d2) + 1.0 / d3) + 1.0 / d4 AS norm
+  FROM pd
+), w AS (
+  SELECT dst_cell, CAST(i0 * 8 + j0 AS INTEGER) AS src_cell,
+         CASE WHEN dmin = 0 THEN (CASE WHEN d1 = 0 THEN 1.0 ELSE 0.0 END)
+              ELSE (1.0 / d1) / norm END AS wt FROM pn
+  UNION ALL
+  SELECT dst_cell, CAST(i0 * 8 + j0 + 1 AS INTEGER),
+         CASE WHEN dmin = 0 THEN (CASE WHEN d2 = 0 THEN 1.0 ELSE 0.0 END)
+              ELSE (1.0 / d2) / norm END FROM pn
+  UNION ALL
+  SELECT dst_cell, CAST((i0 + 1) * 8 + j0 AS INTEGER),
+         CASE WHEN dmin = 0 THEN (CASE WHEN d3 = 0 THEN 1.0 ELSE 0.0 END)
+              ELSE (1.0 / d3) / norm END FROM pn
+  UNION ALL
+  SELECT dst_cell, CAST((i0 + 1) * 8 + j0 + 1 AS INTEGER),
+         CASE WHEN dmin = 0 THEN (CASE WHEN d4 = 0 THEN 1.0 ELSE 0.0 END)
+              ELSE (1.0 / d4) / norm END FROM pn
+), wp AS (SELECT * FROM w WHERE wt > 0)
+SELECT dst_cell,
+       round({_dsum('wt * val')}, 6) AS val_remap,
+       round({_dsum('wt')}, 6) AS w_sum
+FROM wp JOIN fld ON wp.src_cell = fld.cell_id
+GROUP BY 1
+"""
+
+ORACLE_REMAP_LAF = f"""
+WITH {_ORACLE_FIELD_AND_DST}, p AS (
+  SELECT dst_cell,
+         least(greatest(floor(lat / 1.0), 0), 6) AS i0,
+         least(greatest(floor(lon / 1.0), 0), 6) AS j0,
+         least(greatest(lat / 1.0 - least(greatest(floor(lat / 1.0), 0), 6),
+                        0.0), 1.0) AS ty,
+         least(greatest(lon / 1.0 - least(greatest(floor(lon / 1.0), 0), 6),
+                        0.0), 1.0) AS tx
+  FROM d
+), w AS (
+  SELECT dst_cell, CAST(i0 * 8 + j0 AS INTEGER) AS src_cell,
+         (1.0 - ty) * (1.0 - tx) AS wt FROM p
+  UNION ALL
+  SELECT dst_cell, CAST(i0 * 8 + j0 + 1 AS INTEGER),
+         (1.0 - ty) * tx FROM p
+  UNION ALL
+  SELECT dst_cell, CAST((i0 + 1) * 8 + j0 AS INTEGER),
+         ty * (1.0 - tx) FROM p
+  UNION ALL
+  SELECT dst_cell, CAST((i0 + 1) * 8 + j0 + 1 AS INTEGER),
+         ty * tx FROM p
+), wp AS (SELECT * FROM w WHERE wt > 0),
+cat AS (SELECT cell_id, CAST(cell_id % 7 AS INTEGER) AS cat FROM fld),
+ranked AS (
+  SELECT wp.dst_cell, cat.cat, wp.wt,
+         row_number() OVER (PARTITION BY wp.dst_cell
+                            ORDER BY wp.wt DESC, wp.src_cell ASC) AS rn
+  FROM wp JOIN cat ON wp.src_cell = cat.cell_id
+)
+SELECT dst_cell, cat AS cat_laf, round(wt, 6) AS laf_w
+FROM ranked WHERE rn = 1
+"""
+
+
 # ------------------------------------------- multimodal plumbing (oracle)
 
 def q_media_plumbing(spark, sf_dir):
@@ -1549,6 +1671,8 @@ QUERIES = {
     "remap_weighted": q_remap_weighted,
     "remap_bilinear": q_remap_bilinear,
     "remap_nearest": q_remap_nearest,
+    "remap_idw": q_remap_idw,
+    "remap_laf": q_remap_laf,
     "media_plumbing": q_media_plumbing,
     "scalar_roundtrip": q_scalar_roundtrip,
     "float_axes": q_float_axes,
@@ -1593,6 +1717,8 @@ ORACLES = {
     "remap_weighted": _oracle_remap(),
     "remap_bilinear": ORACLE_REMAP_BILINEAR,
     "remap_nearest": ORACLE_REMAP_NEAREST,
+    "remap_idw": ORACLE_REMAP_IDW,
+    "remap_laf": ORACLE_REMAP_LAF,
     "media_plumbing": ORACLE_MEDIA_PLUMBING,
     "scalar_roundtrip": ORACLE_SCALAR,
     "float_axes": ORACLE_FLOAT_AXES,

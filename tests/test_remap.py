@@ -95,6 +95,66 @@ def test_bilinear_weights_reproduce_linear_field(spark):
             assert abs(r["val_remap"] - (3.0 + 2.0 * cl + 0.5 * cn)) < 1e-9
 
 
+def test_idw_weights_properties(spark):
+    """`dis` method invariants: weights sum to 1 per dst point, an exact
+    node hit takes the whole weight, and off-node weights order by
+    inverse distance (closest corner gets the largest weight)."""
+    from ecmwf_models_spark.operators.remap import idw_weights_2d
+
+    dst = spark.createDataFrame(
+        [
+            (0, 3.0, 5.0),   # exact node hit -> single weight 1 at (3,5)
+            (1, 2.25, 3.5),  # interior, nearest corner is (2.0, 3.5)-side
+            (2, 7.25, 7.25), # clamped beyond extent: corner (7,7) closest
+        ],
+        "gpi int, lat double, lon double",
+    )
+    rows = idw_weights_2d(dst, 0.0, 1.0, 8, 0.0, 1.0, 8).collect()
+    by_dst = {}
+    for r in rows:
+        by_dst.setdefault(r["dst_cell"], {})[r["src_cell"]] = r["w"]
+    assert by_dst[0] == {3 * 8 + 5: 1.0}
+    w1 = by_dst[1]
+    assert len(w1) == 4
+    assert abs(sum(w1.values()) - 1.0) < 1e-12
+    # (2.25, 3.5): corner (2,3) at d=sqrt(.0625+.25) and (2,4) at the
+    # same distance tie for closest; both beat the i=3 row corners
+    assert w1[2 * 8 + 3] == w1[2 * 8 + 4]
+    assert w1[2 * 8 + 3] > w1[3 * 8 + 3]
+    w2 = by_dst[2]
+    assert abs(sum(w2.values()) - 1.0) < 1e-12
+    assert max(w2, key=w2.get) == 7 * 8 + 7
+
+
+def test_laf_picks_max_weight_category(spark):
+    """`laf` method: dst takes the category of the max-weight src cell;
+    exact weight ties break to the lower src_cell deterministically."""
+    from ecmwf_models_spark.operators.remap import (
+        bilinear_weights_2d,
+        remap_laf,
+    )
+
+    fact = spark.range(64).select(
+        F.col("id").cast("int").alias("cell_id"),
+        (F.col("id") % 7).cast("int").alias("cat"),
+    )
+    dst = spark.createDataFrame(
+        [
+            (0, 2.1, 3.9),  # dominant corner (2, 4) -> cell 20 -> cat 6
+            (1, 5.5, 2.0),  # tx=0: corners (5,2) w=.5 and (6,2) w=.5 tie
+        ],
+        "gpi int, lat double, lon double",
+    )
+    w = bilinear_weights_2d(dst, 0.0, 1.0, 8, 0.0, 1.0, 8)
+    got = {
+        r["dst_cell"]: (r["cat_laf"], r["laf_w"])
+        for r in remap_laf(fact, w, "cat").collect()
+    }
+    assert got[0] == ((2 * 8 + 4) % 7, pytest.approx(0.9 * 0.9))
+    # tie at w=0.5: lower src_cell (5*8+2=42) wins -> cat 0
+    assert got[1] == ((5 * 8 + 2) % 7, 0.5)
+
+
 def test_nearest_weights_pick_closest_node(spark):
     from pyspark.sql import functions as F
 
