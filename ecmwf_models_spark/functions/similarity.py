@@ -128,6 +128,91 @@ def ann_topk_lsh(
     )
 
 
+def ivf_seed_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF-Flat coarse quantizer: the n_centroids lowest-id
+    vectors serve as centroids (collected driver-side — n_centroids*dim
+    floats, tiny at any corpus size). A k-means refinement would drop in
+    here (each Lloyd iteration is one broadcast argmax + one groupBy
+    mean), but training is orthogonal to the query path; seed centroids
+    keep the whole index reproducible with zero iterations."""
+    rows = (
+        embeddings.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .collect()
+    )
+    return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def with_ivf_cell(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid — one narrow map
+    over an array of centroid literals (same zero-shuffle shape as
+    with_lsh_bucket): no join, no aggregation, scales embarrassingly.
+    Ties break to the lower centroid id (max over (sim, -cid))."""
+    structs = [
+        F.struct(
+            cosine(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv])
+            ).alias("sim"),
+            F.lit(-cid).alias("negcid"),
+        )
+        for cid, cv in centroids
+    ]
+    best = F.array_max(F.array(*structs))
+    return embeddings.withColumn(out, (-best["negcid"]).cast("int"))
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: probe only the n_probe inverted lists
+    whose centroids are most cosine-similar to the query. With the
+    assignment written as a partition column (write_ann_index's pattern),
+    the probe set becomes partition pruning; here it is a pushed-down IN
+    filter over the map-computed cell id. Driver-side centroid ranking
+    uses the same left-fold dot/sqrt arithmetic as the engine, so the
+    probe set is reproducible."""
+    cents = ivf_seed_centroids(embeddings, n_centroids, id_col, vec_col)
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    ranked = sorted(
+        cents, key=lambda c: (-_cos(c[1], query_vec), c[0])
+    )
+    probes = [cid for cid, _ in ranked[:n_probe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        with_ivf_cell(embeddings, cents, vec_col)
+        .where(F.col("ivf_cell").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def write_ann_index(
     embeddings: DataFrame,
     path: str,

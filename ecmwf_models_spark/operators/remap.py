@@ -20,6 +20,14 @@ reference's conservative regrid.
 Sums are carried as decimal(38,18) (associative -> bit-stable at any
 parallelism; the per-row product w*value is plain IEEE double, identical
 in any engine).
+
+Method coverage vs the reference list `bil, bic, nn, dis, con, con2,
+laf` (era5/download.py:290-298): bil/bic/nn/dis/laf below, con via
+conservative_weights_1d. con2 (second-order conservative) adds a
+sub-cell gradient correction that is zero for a piecewise-constant cell
+field — our cells carry one aggregate value, no sub-cell gradient — so
+con2 collapses to con here by construction; callers wanting gradient
+remaps use bicubic.
 """
 
 from __future__ import annotations
@@ -152,6 +160,82 @@ def nearest_weights_2d(
         F.col(id_col).alias("dst_cell"),
         (i * nlon + j).alias("src_cell"),
         F.lit(1.0).alias("w"),
+    )
+
+
+def bicubic_weights_2d(
+    dst_points: DataFrame,
+    lat0: float,
+    dlat: float,
+    nlat: int,
+    lon0: float,
+    dlon: float,
+    nlon: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "gpi",
+) -> DataFrame:
+    """Bicubic (Catmull-Rom) remap weights — the reference's `bic` CDO
+    method (era5/download.py:290-298). 16 surrounding nodes per dst
+    point; per-axis cubic kernel over offsets {-1,0,1,2} at fraction t:
+
+        w(-1) = -0.5t^3 +    t^2 - 0.5t
+        w( 0) =  1.5t^3 - 2.5t^2        + 1
+        w( 1) = -1.5t^3 +  2.0t^2 + 0.5t
+        w( 2) =  0.5t^3 -  0.5t^2
+
+    Each axis sums to 1 algebraically, so the 16 products do too
+    (weights may be negative — standard cubic overshoot). Node indices
+    clamp to the grid (replicate padding at edges), and out-of-extent
+    dst points clamp ty/tx to [0,1] like the bilinear builder. The
+    polynomials are written in one fixed left-associative form so the
+    weights reproduce bit-for-bit in any IEEE engine. Zero-weight rows
+    (exact node hits) are dropped. Scale: |dst| * 16 rows, still a tiny
+    broadcast table."""
+    fy = (F.col(lat_col) - F.lit(float(lat0))) / F.lit(float(dlat))
+    fx = (F.col(lon_col) - F.lit(float(lon0))) / F.lit(float(dlon))
+    i0 = F.least(
+        F.greatest(F.floor(fy), F.lit(0)), F.lit(nlat - 2)
+    ).cast("int")
+    j0 = F.least(
+        F.greatest(F.floor(fx), F.lit(0)), F.lit(nlon - 2)
+    ).cast("int")
+    ty = F.least(F.greatest(fy - i0, F.lit(0.0)), F.lit(1.0))
+    tx = F.least(F.greatest(fx - j0, F.lit(0.0)), F.lit(1.0))
+
+    def _kernel(t):
+        # fixed left-associative polynomial forms (mirror the oracle SQL)
+        return {
+            -1: F.lit(-0.5) * t * t * t + t * t - F.lit(0.5) * t,
+            0: F.lit(1.5) * t * t * t - F.lit(2.5) * t * t + F.lit(1.0),
+            1: F.lit(-1.5) * t * t * t + F.lit(2.0) * t * t
+            + F.lit(0.5) * t,
+            2: F.lit(0.5) * t * t * t - F.lit(0.5) * t * t,
+        }
+
+    wy, wx = _kernel(ty), _kernel(tx)
+
+    def _clamp(idx, n):
+        return F.least(F.greatest(idx, F.lit(0)), F.lit(n - 1))
+
+    corners = F.array(
+        *[
+            F.struct(
+                (
+                    _clamp(i0 + a, nlat) * nlon + _clamp(j0 + b, nlon)
+                ).alias("src_cell"),
+                (wy[a] * wx[b]).alias("w"),
+            )
+            for a in (-1, 0, 1, 2)
+            for b in (-1, 0, 1, 2)
+        ]
+    )
+    return (
+        dst_points.select(
+            F.col(id_col).alias("dst_cell"), F.explode(corners).alias("c")
+        )
+        .select("dst_cell", "c.src_cell", "c.w")
+        .where(F.col("w") != 0)
     )
 
 

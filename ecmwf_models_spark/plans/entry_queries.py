@@ -1334,6 +1334,23 @@ GROUP BY 1
 """
 
 
+def q_remap_bicubic(spark, sf_dir):
+    """A1 variant, 2-D: bicubic (Catmull-Rom) remap (`bic` in the
+    reference method list, era5/download.py:290-298) — 16-node stencil,
+    edge-clamped, through the same weights-table apply path."""
+    from ..operators.remap import bicubic_weights_2d, remap_weighted
+
+    w = bicubic_weights_2d(
+        _dst_points_quarter(spark), 0.0, 1.0, 8, 0.0, 1.0, 8
+    )
+    out = remap_weighted(_src_field_8x8(spark, sf_dir), w, ("val",))
+    return out.select(
+        "dst_cell",
+        R6(F.col("val_remap")).alias("val_remap"),
+        R6(F.col("w_sum")).alias("w_sum"),
+    )
+
+
 def q_remap_idw(spark, sf_dir):
     """A1 variant, 2-D: inverse-distance remap (`dis` in the reference
     method list, era5/download.py:290-298) through the same weights-table
@@ -1370,6 +1387,54 @@ def q_remap_laf(spark, sf_dir):
     return out.select(
         "dst_cell", "cat_laf", R6(F.col("laf_w")).alias("laf_w")
     )
+
+
+# The bicubic oracle rebuilds the 16-node Catmull-Rom stencil from two
+# offset tables; the per-axis kernel polynomials are written in the SAME
+# left-associative form as bicubic_weights_2d, so every weight is
+# bit-identical IEEE arithmetic in both engines.
+ORACLE_REMAP_BICUBIC = f"""
+WITH {_ORACLE_FIELD_AND_DST}, p AS (
+  SELECT dst_cell,
+         least(greatest(floor(lat / 1.0), 0), 6) AS i0,
+         least(greatest(floor(lon / 1.0), 0), 6) AS j0,
+         least(greatest(lat / 1.0 - least(greatest(floor(lat / 1.0), 0), 6),
+                        0.0), 1.0) AS ty,
+         least(greatest(lon / 1.0 - least(greatest(floor(lon / 1.0), 0), 6),
+                        0.0), 1.0) AS tx
+  FROM d
+), o(k) AS (VALUES (-1), (0), (1), (2)),
+ky AS (
+  SELECT p.*, o.k AS a,
+         CASE o.k
+           WHEN -1 THEN -0.5*ty*ty*ty + ty*ty - 0.5*ty
+           WHEN  0 THEN  1.5*ty*ty*ty - 2.5*ty*ty + 1.0
+           WHEN  1 THEN -1.5*ty*ty*ty + 2.0*ty*ty + 0.5*ty
+           ELSE          0.5*ty*ty*ty - 0.5*ty*ty
+         END AS wy
+  FROM p, o
+), k2 AS (
+  SELECT ky.*, o.k AS b,
+         CASE o.k
+           WHEN -1 THEN -0.5*tx*tx*tx + tx*tx - 0.5*tx
+           WHEN  0 THEN  1.5*tx*tx*tx - 2.5*tx*tx + 1.0
+           WHEN  1 THEN -1.5*tx*tx*tx + 2.0*tx*tx + 0.5*tx
+           ELSE          0.5*tx*tx*tx - 0.5*tx*tx
+         END AS wx
+  FROM ky, o
+), w AS (
+  SELECT dst_cell,
+         CAST(least(greatest(i0 + a, 0), 7) * 8
+              + least(greatest(j0 + b, 0), 7) AS INTEGER) AS src_cell,
+         wy * wx AS wt
+  FROM k2
+), wp AS (SELECT * FROM w WHERE wt <> 0)
+SELECT dst_cell,
+       round({_dsum('wt * val')}, 6) AS val_remap,
+       round({_dsum('wt')}, 6) AS w_sum
+FROM wp JOIN fld ON wp.src_cell = fld.cell_id
+GROUP BY 1
+"""
 
 
 # The IDW oracle recomputes the 4 corner distances and the FIXED-ORDER
@@ -1639,6 +1704,107 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF-Flat approximate top-k (functions/similarity.py ann_topk_ivf):
+    deterministic seed centroids, zero-shuffle map-side assignment,
+    n_probe inverted lists scanned. The oracle recomputes centroids,
+    assignment (argmax cosine, ties to lower cid) and the probe set
+    entirely in SQL from the same table — no literals to inline."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    return SIM.ann_topk_ivf(emb, qvec, k=10, n_centroids=16, n_probe=4)
+
+
+ORACLE_ANN_IVF = """
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+c AS (SELECT vec_id AS cid, e AS ce FROM b WHERE vec_id < 16),
+q AS (SELECT e AS qv FROM b WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM c, q
+  ORDER BY list_dot_product(ce, qv)
+           / (sqrt(list_dot_product(ce, ce))
+              * sqrt(list_dot_product(qv, qv))) DESC, cid ASC
+  LIMIT 4
+),
+assign AS (
+  SELECT b.vec_id, b.e, c.cid,
+         row_number() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY list_dot_product(b.e, c.ce)
+                    / (sqrt(list_dot_product(b.e, b.e))
+                       * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+                    c.cid ASC
+         ) AS rn
+  FROM b, c
+),
+cells AS (SELECT vec_id, e, cid FROM assign WHERE rn = 1)
+SELECT vec_id,
+       round(list_dot_product(e, qv)
+             / (sqrt(list_dot_product(e, e))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+FROM cells, q
+WHERE cid IN (SELECT cid FROM probe)
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs through the production
+    LSH-blocked self-join + exact-cosine verify
+    (functions/similarity.py cosine_near_dup_pairs) — the 100 TB
+    embedding-dedup path; the oracle reproduces the SAME approximate
+    semantics (identical inlined hyperplanes, identical buckets).
+    Threshold 0.35 / 4 planes are sized to the synthetic corpus (max
+    pairwise cosine ~0.51), so blocking and verify both do real work
+    and the result is non-empty."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return SIM.cosine_near_dup_pairs(
+        emb, threshold=0.35, n_planes=4, dim=64
+    ).select("id_a", "id_b", "cos_sim")
+
+
+def _oracle_neardup(
+    n_planes: int = 4, dim: int = 64, thr: float = 0.35
+) -> str:
+    """Same inlined-hyperplane trick as _oracle_ann_lsh: bucket ids and
+    the blocked self-join are then exact arithmetic in DuckDB."""
+    from ..functions.similarity import _hyperplane
+
+    planes = [_hyperplane(dim, i) for i in range(n_planes)]
+    plane_lits = ",\n    ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, pl[{i + 1}]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH p AS (SELECT [
+    {plane_lits}
+] AS pl),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket
+  FROM embeddings, p
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         round(list_dot_product(x.e, y.e)
+               / (sqrt(list_dot_product(x.e, x.e))
+                  * sqrt(list_dot_product(y.e, y.e))), 6) AS cos_sim
+  FROM b x JOIN b y
+    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {thr}
+"""
+
+
 QUERIES = {
     "rollup_hourly": q_rollup_hourly,
     "rollup_daily_from_hourly": q_rollup_daily_from_hourly,
@@ -1673,6 +1839,7 @@ QUERIES = {
     "remap_nearest": q_remap_nearest,
     "remap_idw": q_remap_idw,
     "remap_laf": q_remap_laf,
+    "remap_bicubic": q_remap_bicubic,
     "media_plumbing": q_media_plumbing,
     "scalar_roundtrip": q_scalar_roundtrip,
     "float_axes": q_float_axes,
@@ -1683,6 +1850,8 @@ QUERIES = {
     "grid_bbox": q_grid_bbox,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_topk_ivf": q_ann_topk_ivf,
 }
 
 ORACLES = {
@@ -1719,6 +1888,7 @@ ORACLES = {
     "remap_nearest": ORACLE_REMAP_NEAREST,
     "remap_idw": ORACLE_REMAP_IDW,
     "remap_laf": ORACLE_REMAP_LAF,
+    "remap_bicubic": ORACLE_REMAP_BICUBIC,
     "media_plumbing": ORACLE_MEDIA_PLUMBING,
     "scalar_roundtrip": ORACLE_SCALAR,
     "float_axes": ORACLE_FLOAT_AXES,
@@ -1729,4 +1899,6 @@ ORACLES = {
     "grid_bbox": ORACLE_GRID_BBOX,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "ann_topk_lsh": _oracle_ann_lsh(),
+    "embedding_neardup": _oracle_neardup(),
+    "ann_topk_ivf": ORACLE_ANN_IVF,
 }

@@ -133,3 +133,20 @@ def test_gapfill_reuses_conv_shuffle(bronze):
     plan = plan_of(gap_fill(silver), "simple")
     # reshuffle(1) + per_bucket agg(1) + spans agg(1) + join alignment(<=2)
     assert plan.count("Exchange") <= 5, plan
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    """IVF cell assignment is a pure map over centroid literals (the
+    with_lsh_bucket shape): ZERO exchanges — at 100 TB the assignment
+    costs one scan, no join, no aggregation."""
+    from ecmwf_models_spark.functions.similarity import (
+        ivf_seed_centroids,
+        with_ivf_cell,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = ivf_seed_centroids(emb, 8)
+    plan = plan_of(with_ivf_cell(emb, cents), "simple")
+    assert "Exchange" not in plan, plan

@@ -95,6 +95,49 @@ def test_bilinear_weights_reproduce_linear_field(spark):
             assert abs(r["val_remap"] - (3.0 + 2.0 * cl + 0.5 * cn)) < 1e-9
 
 
+def test_bicubic_linear_precision_and_interpolation(spark):
+    """Catmull-Rom has linear precision: exact on any field linear in
+    (lat, lon) wherever the full 4x4 stencil is interior (no edge
+    clamp), and it interpolates (passes through source nodes). Weights
+    sum to 1 everywhere, including clamped edge stencils."""
+    from ecmwf_models_spark.operators.remap import (
+        bicubic_weights_2d,
+        remap_weighted,
+    )
+
+    nlat = nlon = 8
+    src = spark.range(nlat * nlon).select(
+        F.col("id").cast("int").alias("cell_id"),
+        (
+            3.0
+            + 2.0 * F.expr("id div 8").cast("double")
+            + 0.5 * (F.col("id") % 8).cast("double")
+        ).alias("val"),
+    )
+    nd = 30
+    dst = spark.range(nd * nd).select(
+        F.col("id").cast("int").alias("gpi"),
+        (F.expr("id div 30") * F.lit(0.25)).alias("lat"),
+        ((F.col("id") % 30) * F.lit(0.25)).alias("lon"),
+    )
+    w = bicubic_weights_2d(dst, 0.0, 1.0, nlat, 0.0, 1.0, nlon)
+    out = remap_weighted(src, w, ("val",)).collect()
+    assert len(out) == nd * nd
+    interior_checked = 0
+    for r in out:
+        lat = (r["dst_cell"] // nd) * 0.25
+        lon = (r["dst_cell"] % nd) * 0.25
+        assert abs(r["w_sum"] - 1.0) < 1e-12
+        # full interior stencil: i0 in [1,5] needs lat in [1,6]; same lon
+        if 1.0 <= lat <= 6.0 and 1.0 <= lon <= 6.0:
+            assert abs(r["val_remap"] - (3.0 + 2.0 * lat + 0.5 * lon)) < 1e-9
+            interior_checked += 1
+        if lat == int(lat) and lon == int(lon) and lat <= 7 and lon <= 7:
+            # interpolation property at the nodes themselves
+            assert abs(r["val_remap"] - (3.0 + 2.0 * lat + 0.5 * lon)) < 1e-9
+    assert interior_checked > 300
+
+
 def test_idw_weights_properties(spark):
     """`dis` method invariants: weights sum to 1 per dst point, an exact
     node hit takes the whole weight, and off-node weights order by

@@ -47,6 +47,29 @@ def test_ann_lsh_recall(emb, query_vec):
     assert 0 in got  # the query itself always survives multiprobe
 
 
+def test_ann_ivf_recall_and_partition(emb, query_vec):
+    """IVF-Flat: the probed result ranks by exact cosine within the
+    probed lists, always contains the query itself (its own cell is the
+    top probe), and achieves reasonable recall vs brute force; every
+    vector lands in exactly one cell of a valid centroid id."""
+    exact = set(S.topk_cosine(emb, query_vec, k=10).toPandas()["vec_id"])
+    approx = S.ann_topk_ivf(
+        emb, query_vec, k=10, n_centroids=16, n_probe=4
+    ).toPandas()
+    got = set(approx["vec_id"])
+    assert 0 in got
+    assert approx["cos_sim"].is_monotonic_decreasing
+    assert len(exact & got) / 10 >= 0.3
+    cents = S.ivf_seed_centroids(emb, 16)
+    cells = S.with_ivf_cell(
+        emb.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        cents,
+    )
+    dist = cells.groupBy("ivf_cell").count().toPandas()
+    assert set(dist["ivf_cell"]).issubset(set(range(16)))
+    assert dist["count"].sum() == emb.count()
+
+
 def test_lsh_bucket_deterministic(emb):
     b1 = S.with_lsh_bucket(emb, 64).select("vec_id", "lsh_bucket").toPandas()
     b2 = S.with_lsh_bucket(emb, 64).select("vec_id", "lsh_bucket").toPandas()
