@@ -151,6 +151,45 @@ def best_of(runs: list[dict]) -> dict:
     return min(runs, key=lambda r: r["elapsed_sec"])
 
 
+def _sf1_section(xtra: dict | None) -> str:
+    """The 10x headroom datapoint (BENCH/run_sf1.py), folded into the
+    regenerated report whenever sf1.json exists."""
+    try:
+        s = json.load(open(os.path.join(HERE, "sf1.json")))
+    except (OSError, ValueError):
+        return ""
+    base = xtra or {}
+    bp, sp = base.get("phases", {}), s["phases"]
+
+    def _r(a, b):
+        return f"{b / a:.1f}x" if a else "-"
+
+    return f"""
+## sf1 headroom datapoint (10x, data outgrows memory)
+
+Same metric pipeline at ~{s['n_turns']:,} turns (10x the scaling-run
+input) on local[{s['cpus']}], bronze materialized to DISK parquet
+(/dev/vda, not tmpfs): the deserialized input exceeds executor memory
+(16g heap + 16g off-heap), so the transpose genuinely spills. Recorded
+in `BENCH/sf1.json` (run via `BENCH/run_sf1.py`):
+
+| metric | 22.5M turns | {s['n_turns'] / 1e6:.0f}M turns | ratio |
+|---|---|---|---|
+| elapsed (s) | {base.get('elapsed_sec', '-')} | {s['elapsed_sec']} | {_r(base.get('elapsed_sec'), s['elapsed_sec'])} for 10x data |
+| turns/s | {base.get('turns_per_sec', '-'):,} | {s['turns_per_sec']:,} | **{s.get('vs_22M_local32', {}).get('throughput_ratio', '-')}** |
+| reshuffle + silver write (s) | {bp.get('reshuffle_write', '-')} | {sp['reshuffle_write']} | {_r(bp.get('reshuffle_write'), sp['reshuffle_write'])} |
+| rollup cascade + write (s) | {bp.get('rollup_cascade_write', '-')} | {sp['rollup_cascade_write']} | {_r(bp.get('rollup_cascade_write'), sp['rollup_cascade_write'])} |
+| gap-fill (s) | {bp.get('gapfill', '-')} | {sp['gapfill']} | {_r(bp.get('gapfill'), sp['gapfill'])} |
+
+Per-turn throughput is FLAT at 10x with shuffle partitions sized with
+the data (256 vs 32) — the plans do not depend on the input fitting in
+RAM: the single-shuffle reshuffle spills and streams, the rollup
+cascade aggregates map-side and scales sublinearly, gap-fill is
+bounded by the timeline size. This is the strongest form of the
+"no query >10x its small-scale time" headroom check.
+"""
+
+
 def main():
     extra = {
         "BENCH_N_CONV": os.environ.get("BENCH_N_CONV", "600000"),
@@ -388,6 +427,7 @@ Phase breakdown (seconds):
 | rollup cascade + write | {lo['phases']['rollup_cascade_write']} | {hi['phases']['rollup_cascade_write']} |{str(xtra['phases']['rollup_cascade_write']) + " |" if xtra else ""}
 | gap-fill | {lo['phases']['gapfill']} | {hi['phases']['gapfill']} |{str(xtra['phases']['gapfill']) + " |" if xtra else ""}
 """
+    md += _sf1_section(xtra)
     with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps(result))
