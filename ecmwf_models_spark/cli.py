@@ -140,7 +140,15 @@ def cmd_update_img(args):
         checkpoint_dir=args.checkpoint or f"{args.out}/_checkpoint",
         watermark=args.watermark,
     )
-    n = spark.read.parquet(args.out).count()
+    from pyspark.errors import AnalysisException
+
+    try:
+        n = spark.read.parquet(args.out).count()
+    except AnalysisException:
+        # zero committed batches (empty bronze dir / all data late):
+        # the sink holds only _spark_metadata — a successful no-op, not
+        # an error (the reference's update_img on no new files)
+        n = 0
     print(f"update-img: hourly stream table at {args.out} has {n} rows")
 
 

@@ -17,21 +17,21 @@ rows).
 from __future__ import annotations
 
 import csv
-import os
+import io
+from importlib import resources
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-
-_LUT_CSV = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "var_lut.csv")
 
 ALIAS_COLS = ("dl_name", "long_name", "short_name")
 
 
 def load_var_table() -> list[dict]:
     """The engine's variable table as plain rows (reference
-    load_var_table, utils.py:92-120)."""
-    with open(_LUT_CSV, newline="") as f:
-        return list(csv.DictReader(f))
+    load_var_table, utils.py:92-120). Read through importlib.resources,
+    NOT a filesystem open(): under `spark-submit --py-files pkg.zip` the
+    package is zipimported and a path-based open() would fail."""
+    data = resources.files(__package__).joinpath("var_lut.csv").read_text()
+    return list(csv.DictReader(io.StringIO(data)))
 
 
 def lut_df(spark: SparkSession) -> DataFrame:

@@ -81,6 +81,15 @@ def image_features(media: DataFrame, resize_to: tuple[int, int] = (4, 4)) -> Dat
             if len(pdf) == 0:
                 yield pd.DataFrame(columns=cols)
                 continue
+            # pandas groupby silently drops NaN keys — a NULL width or
+            # height would make the row vanish with no signal; fail loud
+            # like the old per-row int() cast did
+            bad = pdf["width"].isna() | pdf["height"].isna()
+            if bad.any():
+                raise ValueError(
+                    "image_features: NULL width/height for media_id(s) "
+                    f"{pdf.loc[bad, 'media_id'].tolist()[:5]}"
+                )
             for (w, h), grp in pdf.groupby(["width", "height"], sort=False):
                 w, h = int(w), int(h)
                 imgs = np.stack(

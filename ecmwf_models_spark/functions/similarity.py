@@ -141,11 +141,15 @@ def ivf_seed_centroids(
     mean), but training is orthogonal to the query path; seed centroids
     keep the whole index reproducible with zero iterations."""
     rows = (
-        embeddings.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        embeddings.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
         .orderBy("cid")
-        .collect()
+        .limit(n_centroids)  # n LOWEST ids — works for any id space,
+        .collect()           # not just 0-based dense ids
     )
+    if not rows:
+        raise ValueError("ivf_seed_centroids: embeddings table is empty")
     return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
 
 

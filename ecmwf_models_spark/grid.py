@@ -127,6 +127,12 @@ def nearest_join(
     ext = grid_dim.agg(
         F.min(coord_col).alias("lo"), F.max(coord_col).alias("hi")
     ).first()
+    if ext["lo"] is None:
+        raise ValueError(
+            "nearest_join: grid_dim has no rows — there is no nearest "
+            "node to clamp to (the reference kd-tree would equally have "
+            "nothing to return)"
+        )
     b_lo = int(math.floor(float(ext["lo"]) / bucket_width))
     b_hi = int(math.floor(float(ext["hi"]) / bucket_width))
     b_fact = F.least(

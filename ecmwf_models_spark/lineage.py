@@ -50,8 +50,17 @@ def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
     contract exists to prevent."""
     try:
         return spark.read.schema(schema).parquet(path)
-    except AnalysisException:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        # ONLY absence maps to empty; any other analysis failure (broken
+        # permissions, conflicting metadata) must surface, or callers
+        # would silently re-derive defaults — the exact failure the
+        # persisted run-kwargs contract exists to prevent
+        get_cls = getattr(
+            e, "getCondition", getattr(e, "getErrorClass", lambda: None)
+        )
+        if (get_cls() or "") == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:

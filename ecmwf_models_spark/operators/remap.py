@@ -60,6 +60,34 @@ def conservative_weights_1d(
     )
 
 
+def _cell_fractions(
+    lat0: float,
+    dlat: float,
+    nlat: int,
+    lon0: float,
+    dlon: float,
+    nlon: int,
+    lat_col: str,
+    lon_col: str,
+):
+    """Shared preamble of every 2-D weights builder: base cell (i0, j0)
+    clamped to [0, n-2] and in-cell fractions (ty, tx) clamped to [0, 1]
+    (out-of-extent dst points pin to the boundary cell). One definition
+    so a future change (descending-lat grids, lon wrap) lands in exactly
+    one place — and must then land in the DuckDB oracle twins too."""
+    fy = (F.col(lat_col) - F.lit(float(lat0))) / F.lit(float(dlat))
+    fx = (F.col(lon_col) - F.lit(float(lon0))) / F.lit(float(dlon))
+    i0 = F.least(
+        F.greatest(F.floor(fy), F.lit(0)), F.lit(nlat - 2)
+    ).cast("int")
+    j0 = F.least(
+        F.greatest(F.floor(fx), F.lit(0)), F.lit(nlon - 2)
+    ).cast("int")
+    ty = F.least(F.greatest(fy - i0, F.lit(0.0)), F.lit(1.0))
+    tx = F.least(F.greatest(fx - j0, F.lit(0.0)), F.lit(1.0))
+    return i0, j0, ty, tx
+
+
 def bilinear_weights_2d(
     dst_points: DataFrame,
     lat0: float,
@@ -92,16 +120,9 @@ def bilinear_weights_2d(
     Output (dst_gpi, src_cell, w), 4 rows per dst point (zero-weight
     corners dropped at exact-node hits). Scale: |dst| * 4 rows, built
     distributed and broadcast at apply time like every weights table."""
-    fy = (F.col(lat_col) - F.lit(float(lat0))) / F.lit(float(dlat))
-    fx = (F.col(lon_col) - F.lit(float(lon0))) / F.lit(float(dlon))
-    i0 = F.least(
-        F.greatest(F.floor(fy), F.lit(0)), F.lit(nlat - 2)
-    ).cast("int")
-    j0 = F.least(
-        F.greatest(F.floor(fx), F.lit(0)), F.lit(nlon - 2)
-    ).cast("int")
-    ty = F.least(F.greatest(fy - i0, F.lit(0.0)), F.lit(1.0))
-    tx = F.least(F.greatest(fx - j0, F.lit(0.0)), F.lit(1.0))
+    i0, j0, ty, tx = _cell_fractions(
+        lat0, dlat, nlat, lon0, dlon, nlon, lat_col, lon_col
+    )
     one = F.lit(1.0)
     corners = F.array(
         F.struct(
@@ -192,16 +213,9 @@ def bicubic_weights_2d(
     weights reproduce bit-for-bit in any IEEE engine. Zero-weight rows
     (exact node hits) are dropped. Scale: |dst| * 16 rows, still a tiny
     broadcast table."""
-    fy = (F.col(lat_col) - F.lit(float(lat0))) / F.lit(float(dlat))
-    fx = (F.col(lon_col) - F.lit(float(lon0))) / F.lit(float(dlon))
-    i0 = F.least(
-        F.greatest(F.floor(fy), F.lit(0)), F.lit(nlat - 2)
-    ).cast("int")
-    j0 = F.least(
-        F.greatest(F.floor(fx), F.lit(0)), F.lit(nlon - 2)
-    ).cast("int")
-    ty = F.least(F.greatest(fy - i0, F.lit(0.0)), F.lit(1.0))
-    tx = F.least(F.greatest(fx - j0, F.lit(0.0)), F.lit(1.0))
+    i0, j0, ty, tx = _cell_fractions(
+        lat0, dlat, nlat, lon0, dlon, nlon, lat_col, lon_col
+    )
 
     def _kernel(t):
         # fixed left-associative polynomial forms (mirror the oracle SQL)
@@ -263,16 +277,9 @@ def idw_weights_2d(
     engine-dependent. sqrt, + and / are correctly-rounded IEEE ops, so
     the weights reproduce bit-for-bit in any engine, and the whole
     builder is narrow column arithmetic: zero shuffles, zero UDFs."""
-    fy = (F.col(lat_col) - F.lit(float(lat0))) / F.lit(float(dlat))
-    fx = (F.col(lon_col) - F.lit(float(lon0))) / F.lit(float(dlon))
-    i0 = F.least(
-        F.greatest(F.floor(fy), F.lit(0)), F.lit(nlat - 2)
-    ).cast("int")
-    j0 = F.least(
-        F.greatest(F.floor(fx), F.lit(0)), F.lit(nlon - 2)
-    ).cast("int")
-    ty = F.least(F.greatest(fy - i0, F.lit(0.0)), F.lit(1.0))
-    tx = F.least(F.greatest(fx - j0, F.lit(0.0)), F.lit(1.0))
+    i0, j0, ty, tx = _cell_fractions(
+        lat0, dlat, nlat, lon0, dlon, nlon, lat_col, lon_col
+    )
     one = F.lit(1.0)
 
     def _d(dy, dx):

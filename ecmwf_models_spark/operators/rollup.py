@@ -71,18 +71,36 @@ def to_micro(c):
     return F.floor(col * MICRO + F.lit(0.5)).cast("long")
 
 
+def _nan_to_null(c):
+    """Shared NaN guard for EVERY carried statistic: Spark sorts NaN
+    greater than any double, so an unguarded max/min_by/max_by would
+    surface NaN even though the sum/cnt exclude it. One NaN-bearing row
+    must be invisible to all six statistics (the reference's masked
+    fill-value contract), not just to the mean."""
+    col = F.col(c) if isinstance(c, str) else c
+    col = col.cast("double")
+    return F.when(F.isnan(col), F.lit(None)).otherwise(col)
+
+
 def _agg_state(value_cols, n_turns_expr):
     aggs = [n_turns_expr.alias("n_turns")]
     for c in value_cols:
+        v = _nan_to_null(c)
         aggs += [
             F.sum(to_micro(c)).alias(f"{c}_sum"),
             # count the same NaN-nulled expression the sum uses, so
             # avg = sum/cnt stays consistent when NaN rows are present
             F.count(to_micro(c)).alias(f"{c}_cnt"),
-            F.min(c).alias(f"{c}_min"),
-            F.max(c).alias(f"{c}_max"),
-            F.min_by(c, "ts").alias(f"{c}_first"),
-            F.max_by(c, "ts").alias(f"{c}_last"),
+            F.min(v).alias(f"{c}_min"),
+            F.max(v).alias(f"{c}_max"),
+            # min_by/max_by skip NULL-valued rows, so a NaN row on the
+            # bucket's ts boundary no longer becomes first/last
+            F.min_by(v, F.when(v.isNotNull(), F.col("ts"))).alias(
+                f"{c}_first"
+            ),
+            F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias(
+                f"{c}_last"
+            ),
         ]
     return aggs
 

@@ -1721,7 +1721,7 @@ ORACLE_ANN_IVF = """
 WITH b AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
-c AS (SELECT vec_id AS cid, e AS ce FROM b WHERE vec_id < 16),
+c AS (SELECT vec_id AS cid, e AS ce FROM b ORDER BY vec_id LIMIT 16),
 q AS (SELECT e AS qv FROM b WHERE vec_id = 0),
 probe AS (
   SELECT cid FROM c, q

@@ -188,3 +188,31 @@ def test_nan_metric_excluded_from_sum_and_count(spark):
     assert r["text_len_cnt"] == 2
     assert r["text_len_sum"] == 6.0
     assert math.isclose(r["text_len_avg"], 3.0, rel_tol=1e-6)
+
+
+def test_nan_metric_excluded_from_all_carried_stats(spark):
+    """Spark sorts NaN GREATER than any double, so an unguarded max (or a
+    min_by/max_by whose boundary-ts row is the NaN one) would surface
+    NaN even while sum/cnt exclude it. All six carried statistics must
+    treat a NaN row as absent: here the NaN row holds both the max value
+    slot (by NaN ordering) and the last-ts slot."""
+    import math
+
+    from ecmwf_models_spark.operators.rollup import finalize, rollup_from_raw
+
+    rows = [
+        ("c1", dt.datetime(2024, 1, 1, 0, 5), 2.0, 1.0),
+        ("c1", dt.datetime(2024, 1, 1, 0, 35), 4.0, 0.0),
+        # NaN on the bucket's LAST timestamp: poisons max and max_by
+        # without the shared guard
+        ("c1", dt.datetime(2024, 1, 1, 0, 55), float("nan"), 0.0),
+    ]
+    silver = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, text_len double, tool_call double"
+    )
+    r = finalize(rollup_from_raw(silver, "hourly")).collect()[0]
+    assert r["text_len_min"] == 2.0
+    assert r["text_len_max"] == 4.0 and not math.isnan(r["text_len_max"])
+    assert r["text_len_first"] == 2.0
+    assert r["text_len_last"] == 4.0 and not math.isnan(r["text_len_last"])
+    assert r["text_len_cnt"] == 2 and r["text_len_sum"] == 6.0

@@ -48,3 +48,39 @@ def test_resolve_col_is_broadcast(spark):
     with contextlib.redirect_stdout(plan_buf):
         LUT.resolve_col(req, "name").explain("simple")
     assert "BroadcastHashJoin" in plan_buf.getvalue()
+
+
+def test_lut_loads_from_pyfiles_zip(tmp_path):
+    """Deploy contract: under `spark-submit --py-files pkg.zip` the
+    package is zipimported — load_var_table must read var_lut.csv
+    through importlib.resources, not a filesystem open(). Imports the
+    package FROM the zip in a subprocess whose sys.path excludes the
+    repo dir."""
+    import os
+    import subprocess
+    import sys
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "ecmwf_models_spark")
+    zpath = str(tmp_path / "pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _d, files in os.walk(pkg):
+            for f in files:
+                if f.endswith((".py", ".csv")):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "from ecmwf_models_spark.functions.lut import load_var_table; "
+        "rows = load_var_table(); assert len(rows) > 5, rows; "
+        "print('ZIP_LUT_OK', len(rows))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, zpath],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # away from the repo: no fallback to local fs
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ZIP_LUT_OK" in out.stdout
