@@ -32,6 +32,21 @@ LANG_MARKERS = {
 STOPWORDS = LANG_MARKERS["en"]
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Fan a NARROW input out to the session's parallelism before the
+    CPU-heavy narrow transforms (tokenize -> shingle -> hash). A 100 TB
+    corpus arrives in thousands of splits and this is a no-op; a small
+    single-file parquet (one split under maxPartitionBytes) would
+    otherwise run the entire shingle pipeline on ONE core — measured 4x
+    of the whole MinHash wall-time at sf0.1. Shuffling the raw doc rows
+    is negligible next to the shingle explosion they fan into."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(
@@ -71,7 +86,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def portable_hash64(c: Column, seed: int | Column = 0) -> Column:
     """md5-derived 60-bit hash, bit-reproducible in any engine with md5:
     ('0x' || substr(md5(seed || ':' || s), 1, 15))::BIGINT in DuckDB.
-    ~10x slower than xxhash64 — the oracle-parity path, not the default."""
+    The md5 EXPRESSION is ~10x costlier than xxhash64 per call, but since
+    the Kirsch-Mitzenmacher rewrite hashes each shingle ONCE, hashing is
+    no longer the pipeline bottleneck — measured end-to-end at sf0.1 the
+    portable and xxhash64 paths are within ~5% (the shingle explode +
+    profile groupBy dominates; see bench.py's two minhash entries).
+    xxhash64 stays the default for the residual saving and because it
+    avoids md5's string round-trip entirely at larger shingle counts."""
     s = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
     return F.conv(
         F.substring(F.md5(F.concat_ws(":", s, c)), 1, 15), 16, 10
@@ -111,7 +132,7 @@ def shingle_sets(
     consumer doesn't re-run tokenize+shingle per join side — on a real
     cluster you'd write this to a temp table instead; the shape (one
     narrow row per doc) is the same."""
-    sets = docs.select(
+    sets = spread(docs).select(
         "doc_id",
         F.array_distinct(shingles(tokens(text_col), shingle_n)).alias("sh"),
     )
@@ -186,7 +207,9 @@ def minhash_profile(
 
     collect_set carries the distinct hash set; the signature mins ride the
     same (already Object-hash) aggregation for free."""
-    sh = docs.select("doc_id", F.explode(shingles(tokens(text_col), shingle_n)).alias("_s"))
+    sh = spread(docs).select(
+        "doc_id", F.explode(shingles(tokens(text_col), shingle_n)).alias("_s")
+    )
     h1, h2 = hash_pair(F.col("_s"), portable)
     sh = sh.select("doc_id", h1.alias("_h1"), h2.alias("_h2"))
     prof = sh.groupBy("doc_id").agg(
@@ -341,7 +364,9 @@ def simhash(
     before the groupBy), map-side combinable, whole-stage-codegen'd.
     Sign bit (bit 63) assembles by subtraction to stay in long range.
     portable=True uses the 60-bit md5 hash (DuckDB-reproducible)."""
-    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    tok = spread(docs).select(
+        "doc_id", F.explode(tokens(text_col)).alias("tok")
+    )
     h = portable_hash64(F.col("tok"), 0) if portable else F.xxhash64("tok")
     tok = tok.withColumn("h", h)
     sums = tok.groupBy("doc_id").agg(
