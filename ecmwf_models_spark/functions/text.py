@@ -39,12 +39,23 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     single-file parquet (one split under maxPartitionBytes) would
     otherwise run the entire shingle pipeline on ONE core — measured 4x
     of the whole MinHash wall-time at sf0.1. Shuffling the raw doc rows
-    is negligible next to the shingle explosion they fan into."""
+    is negligible next to the shingle explosion they fan into.
+
+    The width probe is df.inputFiles() — a pure plan traversal. NOT
+    df.rdd.getNumPartitions(): under AQE, .rdd materializes the final
+    physical plan, EXECUTING any upstream shuffle stages at
+    plan-construction time (and that work is re-done by the real query
+    — exchange reuse does not span query executions). A derived input
+    with no file scans ([] inputFiles) gets repartitioned — its rows
+    are bounded by whatever produced them, and one narrow exchange is
+    cheap insurance either way."""
     sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    target = sc.defaultParallelism if min_parts is None else min_parts
+    if target <= 1:
+        return df
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
 
 
 def tokens(text: Column | str) -> Column:
@@ -543,6 +554,7 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Predicted language = argmax of marker-word hits ('und' on tie-less
     zero). Deterministic tie-break: language order as in LANG_MARKERS."""
+    docs = spread(docs)  # per-language regexp scoring: CPU-heavy narrow
     scores = lang_scores(text_col)
     langs = list(scores.keys())
     struct = F.array(
@@ -565,6 +577,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / uppercase / digit ratios + a
     composite quality score in [0,1]. Pure column expressions."""
+    docs = spread(docs)  # 6 regexp passes per doc: CPU-heavy narrow phase
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tok = token_count(c)
@@ -614,6 +627,6 @@ def fingerprint(
         sh,
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(20,0)"),
     )
-    return docs.select(
+    return spread(docs).select(
         "doc_id", F.array_min(h).cast("decimal(20,0)").alias("fingerprint")
     )
