@@ -153,6 +153,16 @@ def best_of(runs: list[dict]) -> dict:
     return min(runs, key=lambda r: r["elapsed_sec"])
 
 
+def _drift_flag(p: dict, ratio: float) -> str:
+    """Per-window exclusion label, shared by the primary and supplemental
+    report tables (must mirror the valid_raw/valid_hw filters exactly)."""
+    if p["eff_raw"] > 1.0:
+        return "excluded from BOTH medians (engine > ratio)"
+    if p["hw_speedup"] > ratio:
+        return "excluded from eff_vs_hw median (probe > ratio)"
+    return ""
+
+
 def _supplemental_1to4_section() -> str:
     """A second, independent N->4N series at 1 vs 4 cores (recorded in
     scaling_1to4.json by running this script with BENCH_CORES_LOW=1
@@ -164,17 +174,10 @@ def _supplemental_1to4_section() -> str:
         s = json.load(open(os.path.join(HERE, "scaling_1to4.json")))
     except (OSError, ValueError):
         return ""
-    def _fl(p):
-        if p["eff_raw"] > 1.0:
-            return "excluded from BOTH medians (engine > ratio)"
-        if p["hw_speedup"] > 4.0:
-            return "excluded from eff_vs_hw median (probe > ratio)"
-        return ""
-
     rows = "\n".join(
         f"| {p['lo']['elapsed_sec']} | {p['hi']['elapsed_sec']} | "
         f"{p['speedup']} | {p['hw_speedup']} | {p['eff_raw']} | "
-        f"{p['eff_vs_hw']} | {_fl(p)} |"
+        f"{p['eff_vs_hw']} | {_drift_flag(p, 4.0)} |"
         for p in s["pairs"]
     )
     return f"""
@@ -383,17 +386,10 @@ def main():
         f"| local[{N_EXTRA}] | {xtra['elapsed_sec']} | "
         f"{xtra['turns_per_sec']} |\n" if xtra else ""
     )
-    def _flags(p):
-        if p["eff_raw"] > 1.0:
-            return "excluded from BOTH medians (engine > ratio)"
-        if p["hw_speedup"] > ratio:
-            return "excluded from eff_vs_hw median (probe > ratio)"
-        return ""
-
     pair_rows = "\n".join(
         f"| {p['lo']['elapsed_sec']} | {p['hi']['elapsed_sec']} | "
         f"{p['speedup']} | {p['hw_speedup']} | {p['eff_raw']} | "
-        f"{p['eff_vs_hw']} | {_flags(p)} |"
+        f"{p['eff_vs_hw']} | {_drift_flag(p, ratio)} |"
         for p in pairs
     )
     best3 = sorted(pairs, key=lambda p: -p["speedup"])[:3]

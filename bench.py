@@ -144,15 +144,12 @@ def main():
     # suite) that a long-running cluster executor never re-pays. Warm
     # the two heaviest generated-code families on tiny slices.
     from ecmwf_models_spark.functions import text as TXT
+    from ecmwf_models_spark.operators.reshuffle import derive_metrics
     from ecmwf_models_spark.operators.rollup import rollup_from_raw
 
     docs50 = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
     TXT.minhash_dedup_pairs(docs50, num_hashes=32, bands=8).count()
-    rollup_from_raw(
-        _bronze.limit(2000).withColumn("text_len", F.length("text").cast("float"))
-        .withColumn("tool_call", F.col("tool").isNotNull().cast("float")),
-        "hourly",
-    ).count()
+    rollup_from_raw(derive_metrics(_bronze.limit(2000)), "hourly").count()
     all_q = dict(engine_q)
     for name in DRIVER_QUERY_NAMES:
         all_q[name] = (lambda f: lambda: f(spark, sf_dir))(EQ.QUERIES[name])

@@ -1235,39 +1235,55 @@ def _dst_points_quarter(spark):
     )
 
 
+def _apply_remap_entry(spark, sf_dir, weights):
+    """Shared apply+rounding tail of every 2-D remap entry: weighted
+    re-agg of the 8x8 field through the given weights table."""
+    from ..operators.remap import remap_weighted
+
+    out = remap_weighted(_src_field_8x8(spark, sf_dir), weights, ("val",))
+    return out.select(
+        "dst_cell",
+        R6(F.col("val_remap")).alias("val_remap"),
+        R6(F.col("w_sum")).alias("w_sum"),
+    )
+
+
 def q_remap_bilinear(spark, sf_dir):
     """A1 variant, 2-D: bilinear interpolation of the 8x8 cell field onto
     a 30x30 quarter-step destination grid via a reusable weights table
     (operators/remap.py bilinear_weights_2d + remap_weighted; reference
     era5/download.py:290-298 `bil`, applied at extract.py:150-160)."""
-    from ..operators.remap import bilinear_weights_2d, remap_weighted
+    from ..operators.remap import bilinear_weights_2d
 
     w = bilinear_weights_2d(
         _dst_points_quarter(spark), 0.0, 1.0, 8, 0.0, 1.0, 8
     )
-    out = remap_weighted(_src_field_8x8(spark, sf_dir), w, ("val",))
-    return out.select(
-        "dst_cell",
-        R6(F.col("val_remap")).alias("val_remap"),
-        R6(F.col("w_sum")).alias("w_sum"),
-    )
+    return _apply_remap_entry(spark, sf_dir, w)
 
 
 def q_remap_nearest(spark, sf_dir):
     """A1 variant, 2-D: nearest-node remap (`nn` in the reference method
     list) through the same weights-table apply path."""
-    from ..operators.remap import nearest_weights_2d, remap_weighted
+    from ..operators.remap import nearest_weights_2d
 
     w = nearest_weights_2d(
         _dst_points_quarter(spark), 0.0, 1.0, 8, 0.0, 1.0, 8
     )
-    out = remap_weighted(_src_field_8x8(spark, sf_dir), w, ("val",))
-    return out.select(
-        "dst_cell",
-        R6(F.col("val_remap")).alias("val_remap"),
-        R6(F.col("w_sum")).alias("w_sum"),
-    )
+    return _apply_remap_entry(spark, sf_dir, w)
 
+
+# SQL twin of operators/remap._cell_fractions — the shared preamble of
+# every 2-D remap oracle (clamped base cell + in-cell fractions)
+_ORACLE_P_FRACTIONS = """p AS (
+  SELECT dst_cell,
+         least(greatest(floor(lat / 1.0), 0), 6) AS i0,
+         least(greatest(floor(lon / 1.0), 0), 6) AS j0,
+         least(greatest(lat / 1.0 - least(greatest(floor(lat / 1.0), 0), 6),
+                        0.0), 1.0) AS ty,
+         least(greatest(lon / 1.0 - least(greatest(floor(lon / 1.0), 0), 6),
+                        0.0), 1.0) AS tx
+  FROM d
+)"""
 
 _ORACLE_FIELD_AND_DST = """
 f AS (
@@ -1288,16 +1304,7 @@ f AS (
 )"""
 
 ORACLE_REMAP_BILINEAR = f"""
-WITH {_ORACLE_FIELD_AND_DST}, p AS (
-  SELECT dst_cell,
-         least(greatest(floor(lat / 1.0), 0), 6) AS i0,
-         least(greatest(floor(lon / 1.0), 0), 6) AS j0,
-         least(greatest(lat / 1.0 - least(greatest(floor(lat / 1.0), 0), 6),
-                        0.0), 1.0) AS ty,
-         least(greatest(lon / 1.0 - least(greatest(floor(lon / 1.0), 0), 6),
-                        0.0), 1.0) AS tx
-  FROM d
-), w AS (
+WITH {_ORACLE_FIELD_AND_DST}, {_ORACLE_P_FRACTIONS}, w AS (
   SELECT dst_cell, CAST(i0 * 8 + j0 AS INTEGER) AS src_cell,
          (1.0 - ty) * (1.0 - tx) AS wt FROM p
   UNION ALL
@@ -1338,17 +1345,12 @@ def q_remap_bicubic(spark, sf_dir):
     """A1 variant, 2-D: bicubic (Catmull-Rom) remap (`bic` in the
     reference method list, era5/download.py:290-298) — 16-node stencil,
     edge-clamped, through the same weights-table apply path."""
-    from ..operators.remap import bicubic_weights_2d, remap_weighted
+    from ..operators.remap import bicubic_weights_2d
 
     w = bicubic_weights_2d(
         _dst_points_quarter(spark), 0.0, 1.0, 8, 0.0, 1.0, 8
     )
-    out = remap_weighted(_src_field_8x8(spark, sf_dir), w, ("val",))
-    return out.select(
-        "dst_cell",
-        R6(F.col("val_remap")).alias("val_remap"),
-        R6(F.col("w_sum")).alias("w_sum"),
-    )
+    return _apply_remap_entry(spark, sf_dir, w)
 
 
 def q_remap_idw(spark, sf_dir):
@@ -1356,17 +1358,12 @@ def q_remap_idw(spark, sf_dir):
     method list, era5/download.py:290-298) through the same weights-table
     apply path. The quarter-step dst grid hits source nodes exactly at
     integer coords, exercising the d == 0 whole-weight branch."""
-    from ..operators.remap import idw_weights_2d, remap_weighted
+    from ..operators.remap import idw_weights_2d
 
     w = idw_weights_2d(
         _dst_points_quarter(spark), 0.0, 1.0, 8, 0.0, 1.0, 8
     )
-    out = remap_weighted(_src_field_8x8(spark, sf_dir), w, ("val",))
-    return out.select(
-        "dst_cell",
-        R6(F.col("val_remap")).alias("val_remap"),
-        R6(F.col("w_sum")).alias("w_sum"),
-    )
+    return _apply_remap_entry(spark, sf_dir, w)
 
 
 def q_remap_laf(spark, sf_dir):
@@ -1394,16 +1391,7 @@ def q_remap_laf(spark, sf_dir):
 # left-associative form as bicubic_weights_2d, so every weight is
 # bit-identical IEEE arithmetic in both engines.
 ORACLE_REMAP_BICUBIC = f"""
-WITH {_ORACLE_FIELD_AND_DST}, p AS (
-  SELECT dst_cell,
-         least(greatest(floor(lat / 1.0), 0), 6) AS i0,
-         least(greatest(floor(lon / 1.0), 0), 6) AS j0,
-         least(greatest(lat / 1.0 - least(greatest(floor(lat / 1.0), 0), 6),
-                        0.0), 1.0) AS ty,
-         least(greatest(lon / 1.0 - least(greatest(floor(lon / 1.0), 0), 6),
-                        0.0), 1.0) AS tx
-  FROM d
-), o(k) AS (VALUES (-1), (0), (1), (2)),
+WITH {_ORACLE_FIELD_AND_DST}, {_ORACLE_P_FRACTIONS}, o(k) AS (VALUES (-1), (0), (1), (2)),
 ky AS (
   SELECT p.*, o.k AS a,
          CASE o.k
@@ -1442,16 +1430,7 @@ GROUP BY 1
 # matching idw_weights_2d's explicit parenthesization, and sqrt / + / /
 # are correctly-rounded IEEE ops in both engines.
 ORACLE_REMAP_IDW = f"""
-WITH {_ORACLE_FIELD_AND_DST}, p AS (
-  SELECT dst_cell,
-         least(greatest(floor(lat / 1.0), 0), 6) AS i0,
-         least(greatest(floor(lon / 1.0), 0), 6) AS j0,
-         least(greatest(lat / 1.0 - least(greatest(floor(lat / 1.0), 0), 6),
-                        0.0), 1.0) AS ty,
-         least(greatest(lon / 1.0 - least(greatest(floor(lon / 1.0), 0), 6),
-                        0.0), 1.0) AS tx
-  FROM d
-), pd AS (
+WITH {_ORACLE_FIELD_AND_DST}, {_ORACLE_P_FRACTIONS}, pd AS (
   SELECT dst_cell, i0, j0,
          sqrt(ty * ty + tx * tx) AS d1,
          sqrt(ty * ty + (1.0 - tx) * (1.0 - tx)) AS d2,
@@ -1487,16 +1466,7 @@ GROUP BY 1
 """
 
 ORACLE_REMAP_LAF = f"""
-WITH {_ORACLE_FIELD_AND_DST}, p AS (
-  SELECT dst_cell,
-         least(greatest(floor(lat / 1.0), 0), 6) AS i0,
-         least(greatest(floor(lon / 1.0), 0), 6) AS j0,
-         least(greatest(lat / 1.0 - least(greatest(floor(lat / 1.0), 0), 6),
-                        0.0), 1.0) AS ty,
-         least(greatest(lon / 1.0 - least(greatest(floor(lon / 1.0), 0), 6),
-                        0.0), 1.0) AS tx
-  FROM d
-), w AS (
+WITH {_ORACLE_FIELD_AND_DST}, {_ORACLE_P_FRACTIONS}, w AS (
   SELECT dst_cell, CAST(i0 * 8 + j0 AS INTEGER) AS src_cell,
          (1.0 - ty) * (1.0 - tx) AS wt FROM p
   UNION ALL
