@@ -142,12 +142,18 @@ def cmd_update_img(args):
     )
     from pyspark.errors import AnalysisException
 
+    from .lineage import is_path_not_found
+
     try:
         n = spark.read.parquet(args.out).count()
-    except AnalysisException:
+    except AnalysisException as e:
         # zero committed batches (empty bronze dir / all data late):
         # the sink holds only _spark_metadata — a successful no-op, not
-        # an error (the reference's update_img on no new files)
+        # an error (the reference's update_img on no new files). ONLY
+        # absence maps to 0; a genuinely unreadable/corrupt sink must
+        # surface, not masquerade as success.
+        if not is_path_not_found(e):
+            raise
         n = 0
     print(f"update-img: hourly stream table at {args.out} has {n} rows")
 

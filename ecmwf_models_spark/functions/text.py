@@ -46,15 +46,27 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     physical plan, EXECUTING any upstream shuffle stages at
     plan-construction time (and that work is re-done by the real query
     — exchange reuse does not span query executions). A derived input
-    with no file scans ([] inputFiles) gets repartitioned — its rows
-    are bounded by whatever produced them, and one narrow exchange is
-    cheap insurance either way."""
-    sc = df.sparkSession.sparkContext
+    with no file scans ([] inputFiles) is only repartitioned when the
+    session's shuffle-partition count is below target: a shuffle-derived
+    input already carries spark.sql.shuffle.partitions-wide layout, and
+    unconditionally repartitioning it to defaultParallelism would ADD an
+    exchange — and on a cluster where shuffle.partitions > cores it
+    would actually REDUCE parallelism for wide inputs."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = sc.defaultParallelism if min_parts is None else min_parts
     if target <= 1:
         return df
-    if len(df.inputFiles()) >= target:
+    files = df.inputFiles()
+    if len(files) >= target:
         return df
+    if not files:
+        try:
+            shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            shuffle_parts = target  # "auto" etc. — assume wide enough
+        if shuffle_parts >= target:
+            return df
     return df.repartition(target)
 
 

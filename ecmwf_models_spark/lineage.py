@@ -42,6 +42,17 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+def is_path_not_found(e: AnalysisException) -> bool:
+    """True only for Spark's PATH_NOT_FOUND condition. Callers that want
+    'absent table == empty' must use this rather than catching every
+    AnalysisException — a corrupt/unreadable table must surface, not be
+    reported as a successful no-op."""
+    get_cls = getattr(
+        e, "getCondition", getattr(e, "getErrorClass", lambda: None)
+    )
+    return (get_cls() or "") == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e)
+
+
 def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
     """Attempt the read; map PATH_NOT_FOUND to an empty frame. Existence is
     decided by Spark's own filesystem resolution (works for HDFS/S3/local
@@ -55,10 +66,7 @@ def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
         # permissions, conflicting metadata) must surface, or callers
         # would silently re-derive defaults — the exact failure the
         # persisted run-kwargs contract exists to prevent
-        get_cls = getattr(
-            e, "getCondition", getattr(e, "getErrorClass", lambda: None)
-        )
-        if (get_cls() or "") == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+        if is_path_not_found(e):
             return spark.createDataFrame([], schema)
         raise
 

@@ -134,8 +134,21 @@ def rollup_cascade(
             F.sum(f"{c}_cnt").alias(f"{c}_cnt"),
             F.min(f"{c}_min").alias(f"{c}_min"),
             F.max(f"{c}_max").alias(f"{c}_max"),
-            F.min_by(f"{c}_first", "bucket_ts").alias(f"{c}_first"),
-            F.max_by(f"{c}_last", "bucket_ts").alias(f"{c}_last"),
+            # Mirror the tier-0 NaN guard: an all-NaN lower bucket carries
+            # NULL first/last, and bucket_ts is never NULL, so an unguarded
+            # min_by/max_by could pick that NULL over a sibling bucket's
+            # real value. Ordering by a ts nulled-out alongside the value
+            # keeps NaN rows invisible at every tier.
+            F.min_by(
+                f"{c}_first",
+                F.when(
+                    F.col(f"{c}_first").isNotNull(), F.col("bucket_ts")
+                ),
+            ).alias(f"{c}_first"),
+            F.max_by(
+                f"{c}_last",
+                F.when(F.col(f"{c}_last").isNotNull(), F.col("bucket_ts")),
+            ).alias(f"{c}_last"),
         ]
     return lower.groupBy("conv_id", b).agg(*aggs)
 

@@ -216,3 +216,44 @@ def test_nan_metric_excluded_from_all_carried_stats(spark):
     assert r["text_len_first"] == 2.0
     assert r["text_len_last"] == 4.0 and not math.isnan(r["text_len_last"])
     assert r["text_len_cnt"] == 2 and r["text_len_sum"] == 6.0
+
+
+def test_all_nan_hour_invisible_to_cascade_first_last(spark):
+    """An ALL-NaN lowest-tier bucket carries NULL first/last after the
+    tier-0 guard, but its bucket_ts is never NULL — so an unguarded
+    cascade min_by/max_by ordered on bucket_ts alone would pick that
+    NULL over a sibling hour's real value. Here the all-NaN hour sits on
+    BOTH day boundaries (hour 0 and hour 23) so it would win both the
+    daily first pick and the daily last pick without the cascade guard."""
+    import math
+
+    from ecmwf_models_spark.operators.rollup import (
+        finalize,
+        rollup_cascade,
+        rollup_from_raw,
+    )
+
+    rows = [
+        # hour 0: every metric row NaN -> first/last NULL at tier 0
+        ("c1", dt.datetime(2024, 1, 1, 0, 5), float("nan"), 0.0),
+        ("c1", dt.datetime(2024, 1, 1, 0, 55), float("nan"), 0.0),
+        # hour 12: real values
+        ("c1", dt.datetime(2024, 1, 1, 12, 5), 2.0, 1.0),
+        ("c1", dt.datetime(2024, 1, 1, 12, 35), 4.0, 0.0),
+        # hour 23: all NaN again -> poisons the daily LAST pick too
+        ("c1", dt.datetime(2024, 1, 1, 23, 50), float("nan"), 1.0),
+    ]
+    silver = spark.createDataFrame(
+        rows, "conv_id string, ts timestamp, text_len double, tool_call double"
+    )
+    hourly = rollup_from_raw(silver, "hourly")
+    daily = finalize(rollup_cascade(hourly, "daily")).collect()
+    assert len(daily) == 1
+    r = daily[0]
+    assert r["n_turns"] == 5
+    assert r["text_len_cnt"] == 2 and r["text_len_sum"] == 6.0
+    assert r["text_len_first"] == 2.0 and not math.isnan(r["text_len_first"])
+    assert r["text_len_last"] == 4.0 and not math.isnan(r["text_len_last"])
+    # monthly-from-daily must stay clean as well
+    monthly = finalize(rollup_cascade(rollup_cascade(hourly, "daily"), "monthly")).collect()[0]
+    assert monthly["text_len_first"] == 2.0 and monthly["text_len_last"] == 4.0
