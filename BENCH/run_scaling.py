@@ -344,6 +344,13 @@ def main():
 
     med_raw = true_median([p["eff_raw"] for p in valid_raw])
     med_vs_hw = true_median([p["eff_vs_hw"] for p in valid_hw])
+    # SENSITIVITY: the keep-eff_vs_hw>1 choice above is argued, not
+    # neutral (probe error can inflate as well as deflate the ratio), so
+    # also publish the median with >1.0 windows excluded — the
+    # both-directions-robust number. If the headline PASS depends on
+    # which rule you pick, that shows here instead of being hidden.
+    sens = [p for p in valid_hw if p["eff_vs_hw"] <= 1.0] or valid_hw
+    med_vs_hw_sens = true_median([p["eff_vs_hw"] for p in sens])
     med_speedup = true_median([p["speedup"] for p in valid_raw])
     med_hw = true_median([p["hw_speedup"] for p in valid_hw])
     lo = best_of([p["lo"] for p in pairs])
@@ -378,6 +385,9 @@ def main():
         "target": 0.8,
         "pass_raw": med_raw >= 0.8,
         "pass_vs_hw": med_vs_hw >= 0.8,
+        "median_eff_vs_hw_sens_excl_gt1": med_vs_hw_sens,
+        "n_valid_vs_hw_sens": len(sens),
+        "pass_vs_hw_sens": med_vs_hw_sens >= 0.8,
     }
     with open(os.path.join(HERE, json_name), "w") as f:
         json.dump(result, f, indent=2)
@@ -451,6 +461,11 @@ total dropped). A window with eff_vs_hw > 1 but a possible normalizer
 is KEPT: the probe (cache-resident sha256) and the engine
 (memory-bandwidth-hungry shuffle) are different workloads, and the
 engine legitimately out-scaling the probe is evidence, not artifact.
+Because that keep-rule is argued rather than neutral, a SENSITIVITY
+median with eff_vs_hw > 1 windows also excluded is published alongside:
+**{med_vs_hw_sens}** over {len(sens)} windows
+(target >= 0.8: {"PASS" if med_vs_hw_sens >= 0.8 else "FAIL"}) — robust
+to probe error in both directions.
 
 Headline = the TRUE MEDIAN over drift-valid windows (even count ->
 mean of the middle two; no best-of, no upper-median):

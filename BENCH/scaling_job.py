@@ -73,14 +73,27 @@ def main():
     n_cells = int(os.environ.get("BENCH_N_CELLS", "256"))
 
     spark = get_spark(
-        f"scaling-{cpus}", cores=cpus, shuffle_partitions=max(cpus * 2, 32)
+        f"scaling-{cpus}",
+        cores=cpus,
+        shuffle_partitions=int(
+            os.environ.get("BENCH_SHUFFLE_PARTS", max(cpus * 2, 32))
+        ),
     )
+    from ecmwf_models_spark.session import sized_shuffle_partitions
     from ecmwf_models_spark.synth import gen_transcripts
 
     bronze = gen_transcripts(
         spark, n_conv=n_conv, days=days, turns_per_conv=turns
     ).localCheckpoint()
     n_turns = bronze.count()
+    if not os.environ.get("BENCH_SHUFFLE_PARTS"):
+        # size shuffle partitions by the DATA, identically at every
+        # parallelism level — the cluster-honest config, and the fix for
+        # the round-3 8->32 regression (see session.py measurement note)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(sized_shuffle_partitions(n_turns, cpus)),
+        )
 
     # JIT warmup on a 2% slice — not measured
     warm = gen_transcripts(

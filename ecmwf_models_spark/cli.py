@@ -7,6 +7,9 @@ download / update_img / reshuffle / update_ts) mapped to the engine:
     python -m ecmwf_models_spark.cli extend    --silver DIR --bronze DIR
     python -m ecmwf_models_spark.cli read      --silver DIR --conv-id ID
     python -m ecmwf_models_spark.cli update-img --bronze DIR --out DIR
+    python -m ecmwf_models_spark.cli remap     --field DIR --out DIR --method con2 --n-src 64 --n-dst 24
+    python -m ecmwf_models_spark.cli ann-index --embeddings DIR --out DIR
+    python -m ecmwf_models_spark.cli ann-query --index DIR --query 0.1,0.2,... --k 10
     python -m ecmwf_models_spark.cli bench     [--sf-dir DIR --cpus N]
 
 On a real cluster each subcommand is the driver program for
@@ -158,6 +161,93 @@ def cmd_update_img(args):
     print(f"update-img: hourly stream table at {args.out} has {n} rows")
 
 
+def _parse_grid(spec: str):
+    lat0, dlat, nlat, lon0, dlon, nlon = (float(x) for x in spec.split(","))
+    return lat0, dlat, int(nlat), lon0, dlon, int(nlon)
+
+
+def cmd_remap(args):
+    """Spatial remap as a first-class command (the reference exposes its
+    CDO regrid through the CLI download path, cli.py:476-497 +
+    era5/download.py:290-298 method list). 1-D cell-ring methods
+    (con/con2/laf) take --n-src/--n-dst; 2-D point methods
+    (bil/nn/bic/idw) take a dst-points parquet (id, lat, lon) plus the
+    source grid spec. Weights are computed once and broadcast at apply —
+    the reference's gencon-once / remap-many reuse contract."""
+    from .operators import remap as R
+
+    spark = _spark(args)
+    fact = spark.read.parquet(args.field)
+    method = args.method
+    if method in ("con", "con2", "laf"):
+        if args.n_src is None or args.n_dst is None:
+            raise SystemExit(f"--n-src/--n-dst required for {method}")
+        if method == "con":
+            w = R.conservative_weights_1d(spark, args.n_src, args.n_dst)
+            out = R.remap_weighted(
+                fact, w, (args.value_col,), src_key=args.src_key
+            )
+        elif method == "con2":
+            w = R.conservative_weights_1d_2nd(spark, args.n_src, args.n_dst)
+            out = R.remap_con2(
+                fact, w, args.value_col, args.n_src, src_key=args.src_key
+            )
+        else:
+            w = R.conservative_weights_1d(spark, args.n_src, args.n_dst)
+            out = R.remap_laf(fact, w, args.value_col, src_key=args.src_key)
+    else:
+        if not args.dst_points or not args.grid:
+            raise SystemExit(f"--dst-points/--grid required for {method}")
+        grid = _parse_grid(args.grid)
+        dst = spark.read.parquet(args.dst_points)
+        builder = {
+            "bil": R.bilinear_weights_2d,
+            "nn": R.nearest_weights_2d,
+            "bic": R.bicubic_weights_2d,
+            "dis": R.idw_weights_2d,
+            "idw": R.idw_weights_2d,
+        }[method]
+        w = builder(dst, *grid)
+        out = R.remap_weighted(
+            fact, w, (args.value_col,), src_key=args.src_key
+        )
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"remap[{method}]: {out.count()} dst rows -> {args.out}")
+
+
+def cmd_ann_index(args):
+    """Materialize the LSH ANN index: embeddings written partitioned by
+    lsh_bucket so probes become directory-level partition pruning."""
+    from .functions.similarity import write_ann_index
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.embeddings)
+    dim = args.dim or len(emb.select(args.vec_col).first()[0])
+    write_ann_index(
+        emb, args.out, dim, n_planes=args.n_planes, vec_col=args.vec_col
+    )
+    print(f"ann-index: {args.out} (dim={dim}, planes={args.n_planes})")
+
+
+def cmd_ann_query(args):
+    """Query a materialized ANN index (cosine top-k, multiprobe)."""
+    from .functions.similarity import ann_topk_lsh_indexed
+
+    spark = _spark(args)
+    qv = [float(x) for x in args.query.split(",")]
+    out = ann_topk_lsh_indexed(
+        spark,
+        args.index,
+        qv,
+        k=args.k,
+        n_planes=args.n_planes,
+        multiprobe_hamming=args.multiprobe,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+    )
+    print(out.toPandas().to_string())
+
+
 def cmd_bench(args):
     import os
 
@@ -232,6 +322,46 @@ def main(argv=None):
     )
     s.add_argument("--watermark", default="2 hours")
     s.set_defaults(fn=cmd_update_img)
+
+    s = sub.add_parser("remap")
+    s.add_argument("--field", required=True, help="gridded field parquet")
+    s.add_argument("--out", required=True)
+    s.add_argument(
+        "--method", required=True,
+        choices=["con", "con2", "laf", "bil", "nn", "bic", "dis", "idw"],
+    )
+    s.add_argument("--value-col", default="value")
+    s.add_argument("--src-key", default="cell_id")
+    s.add_argument("--n-src", type=int, default=None)
+    s.add_argument("--n-dst", type=int, default=None)
+    s.add_argument(
+        "--dst-points", default=None,
+        help="parquet of (gpi, lat, lon) destination points (2-D methods)",
+    )
+    s.add_argument(
+        "--grid", default=None,
+        help="source grid spec lat0,dlat,nlat,lon0,dlon,nlon (2-D methods)",
+    )
+    s.set_defaults(fn=cmd_remap)
+
+    s = sub.add_parser("ann-index")
+    s.add_argument("--embeddings", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--dim", type=int, default=None,
+                   help="default: probed from the first row")
+    s.add_argument("--n-planes", type=int, default=8)
+    s.add_argument("--vec-col", default="embedding")
+    s.set_defaults(fn=cmd_ann_index)
+
+    s = sub.add_parser("ann-query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True, help="comma-separated floats")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--n-planes", type=int, default=8)
+    s.add_argument("--multiprobe", type=int, default=1)
+    s.add_argument("--id-col", default="vec_id")
+    s.add_argument("--vec-col", default="embedding")
+    s.set_defaults(fn=cmd_ann_query)
 
     s = sub.add_parser("bench")
     s.add_argument("--sf-dir", default=None)

@@ -1,13 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata. The Spark-side schema, partitioning, UDF signatures
-and Arrow batch shapes are real and tested; the actual media decoding is
-STUBBED (no image/audio libs in this container) behind
-`DecoderUnavailable` with a deterministic fake for tests.
+with typed metadata, decoded and featurized inside Arrow-batched UDFs.
+
+Image decode is REAL for PNG payloads — a pure-stdlib codec
+(functions/png.py: zlib inflate + all five PNG scanline filters), no
+native media libraries needed — and gen_media emits genuine PNG bytes,
+so the decode->resize->pool pipeline executes end-to-end and is oracled
+against the closed-form pixel values (entry `image_decode_features`).
+Formats that require native codecs (JPEG via libjpeg, audio/video
+containers) raise `DecoderUnavailable`; opaque non-image-format payloads
+fall back to a deterministic hash-expansion fake so schema/partitioning
+tests run on any payload. On a cluster you swap `decode_image`'s PNG
+branch for PIL/torchvision; nothing else changes.
 
 Pattern: mapInPandas over batches of (id, kind, data:binary, meta:map) —
 Arrow moves the binary payloads zero-copy; per-batch vectorized numpy does
-the feature math. On a real cluster you swap `_decode_image_stub` for a
-PIL/torchvision call; nothing else changes.
+the feature math.
 """
 
 from __future__ import annotations
@@ -18,6 +25,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+from .png import decode_png, encode_png
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -37,8 +46,10 @@ class DecoderUnavailable(NotImplementedError):
 
 
 def _decode_image_stub(data: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic fake decode: bytes -> (h, w, 3) uint8 derived from a
-    hash expansion. REAL decode requires PIL/libjpeg — not in container."""
+    """Deterministic fake decode for OPAQUE payloads (no recognizable
+    image container): bytes -> (h, w, 3) uint8 from a hash expansion.
+    Lets schema/partitioning tests run on arbitrary binary; real image
+    bytes never reach this path (PNG decodes for real, JPEG raises)."""
     if data is None:
         raise DecoderUnavailable("no payload")
     seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
@@ -46,19 +57,92 @@ def _decode_image_stub(data: bytes, width: int, height: int) -> np.ndarray:
     return rs.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def decode_image(data: bytes, width: int, height: int) -> np.ndarray:
+    """bytes -> (h, w, 3) uint8. PNG payloads decode for REAL via the
+    pure-stdlib codec (grayscale broadcast to 3 channels, alpha dropped);
+    JPEG raises DecoderUnavailable (needs libjpeg — swap in PIL here on a
+    cluster); anything else is treated as an opaque test payload and
+    hash-expanded deterministically. The (width, height) metadata columns
+    are a CONTRACT — a decoded size mismatch fails loud, because
+    downstream batching groups by them."""
+    if data is None:
+        raise DecoderUnavailable("no payload")
+    b = bytes(data)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        arr = decode_png(b)
+        if arr.shape[0] != height or arr.shape[1] != width:
+            raise ValueError(
+                f"decoded PNG is {arr.shape[1]}x{arr.shape[0]} but "
+                f"metadata says {width}x{height}"
+            )
+        if arr.shape[2] == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        elif arr.shape[2] == 4:
+            arr = arr[:, :, :3]
+        return arr
+    if b[:3] == b"\xff\xd8\xff":
+        raise DecoderUnavailable("JPEG decode requires libjpeg/PIL")
+    return _decode_image_stub(b, width, height)
+
+
+# closed-form synthetic pixel value — gen_media encodes it into real PNG
+# bytes and the image_decode_features oracle recomputes it in SQL, so the
+# decode path is value-checked end-to-end
+def _synth_pixel_expr(mid, y, x, c):
+    return (mid * 31 + y * 7 + x * 13 + c * 97) % 256
+
+
+def _synth_pixels(mid: int, width: int, height: int) -> np.ndarray:
+    y, x, c = np.ogrid[0:height, 0:width, 0:3]
+    return _synth_pixel_expr(mid, y, x, c).astype(np.uint8)
+
+
+def _png_payload_batch(
+    mid: pd.Series, width: pd.Series, height: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            # cycle the scanline filter with the id so every PNG filter
+            # type (None/Sub/Up/Average/Paeth) is exercised in the wild
+            encode_png(_synth_pixels(int(i), int(w), int(h)), int(i) % 5)
+            for i, w, h in zip(mid, width, height)
+        ]
+    )
+
+
 def gen_media(spark, n: int = 64, width: int = 16, height: int = 12) -> DataFrame:
-    """Deterministic synthetic media table (binary payload = hash bytes)."""
-    return spark.range(n).select(
+    """Deterministic synthetic media table. Image rows carry REAL PNG
+    payloads of the closed-form pixel pattern (decoded for real by
+    image_features); audio/video payloads stay opaque hash bytes."""
+    base = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
-        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("data"),
         F.lit(width).alias("width"),
         F.lit(height).alias("height"),
         F.lit(16000).alias("sample_rate"),
         (F.pmod(F.col("id"), F.lit(8)) + 1).cast("int").alias("n_frames"),
+    )
+    # pandas_udf parses its DDL return type against the active session,
+    # so construct it here rather than at module import
+    png_payload = F.pandas_udf(_png_payload_batch, "binary")
+    return base.select(
+        "media_id",
+        "kind",
+        F.when(
+            F.col("kind") == "image",
+            png_payload("media_id", "width", "height"),
+        )
+        .otherwise(
+            F.sha2(F.col("media_id").cast("string"), 256).cast("binary")
+        )
+        .alias("data"),
+        "width",
+        "height",
+        "sample_rate",
+        "n_frames",
     )
 
 
@@ -69,8 +153,12 @@ def image_features(media: DataFrame, resize_to: tuple[int, int] = (4, 4)) -> Dat
     resize, channel pooling, luminance — runs once per (width, height)
     group as a single stacked-ndarray operation, not per image."""
     rh, rw = resize_to
+    # doubles, not floats: channel/spatial means of uint8 pixels are
+    # exact integer sums divided once, so float64 results reproduce
+    # bit-identically in any engine — what lets the SQL oracle
+    # (image_decode_features) hash-match the decoded values
     out_schema = (
-        "media_id long, feat array<float>, mean_lum float, "
+        "media_id long, feat array<double>, mean_lum double, "
         "out_h int, out_w int"
     )
     cols = ["media_id", "feat", "mean_lum", "out_h", "out_w"]
@@ -93,22 +181,22 @@ def image_features(media: DataFrame, resize_to: tuple[int, int] = (4, 4)) -> Dat
             for (w, h), grp in pdf.groupby(["width", "height"], sort=False):
                 w, h = int(w), int(h)
                 imgs = np.stack(
-                    [_decode_image_stub(bytes(d), w, h) for d in grp["data"]]
+                    [decode_image(bytes(d), w, h) for d in grp["data"]]
                 )  # (n, h, w, 3) — one ndarray for the whole size-group
                 yi = np.arange(rh) * h // rh
                 xi = np.arange(rw) * w // rw
                 small = imgs[:, yi[:, None], xi[None, :], :]  # (n,rh,rw,3)
                 feats = (
-                    small.mean(axis=3)
+                    small.astype(np.float64)
+                    .mean(axis=3)
                     .reshape(len(grp), rh * rw)
-                    .astype(np.float32)
                 )
                 yield pd.DataFrame(
                     {
                         "media_id": grp["media_id"].to_numpy(),
                         "feat": list(feats),
-                        "mean_lum": imgs.mean(axis=(1, 2, 3)).astype(
-                            np.float32
+                        "mean_lum": imgs.astype(np.float64).mean(
+                            axis=(1, 2, 3)
                         ),
                         "out_h": rh,
                         "out_w": rw,

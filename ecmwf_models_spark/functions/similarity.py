@@ -128,6 +128,24 @@ def ann_topk_lsh(
     )
 
 
+def lsh_bucket_sizes(
+    embeddings: DataFrame,
+    dim: int | None = None,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket-size histogram for the near-dup LSH: the operational check
+    that sizes max_bucket (and counts what a given cap would skip).
+    One narrow map + one map-side-combining groupBy."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    return (
+        with_lsh_bucket(embeddings, dim, n_planes, vec_col)
+        .groupBy("lsh_bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 def ivf_seed_centroids(
     embeddings: DataFrame,
     n_centroids: int,
@@ -151,6 +169,66 @@ def ivf_seed_centroids(
     if not rows:
         raise ValueError("ivf_seed_centroids: embeddings table is empty")
     return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def ivf_lloyd_iterate(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iterations: int = 1,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd refinement of the IVF coarse quantizer. Each
+    iteration is exactly the two cheap distributed steps: assign =
+    broadcast argmax over centroid literals (with_ivf_cell, no shuffle),
+    update = per-(cell, dim) mean via one posexplode + map-side-combining
+    groupBy (n*dim rows through one shuffle of |cells|*dim groups).
+    Collected result is n_centroids*dim floats — tiny at any corpus size.
+    Empty cells keep their previous centroid (standard k-means handling).
+    Means are then L2-normalized so the argmax stays a pure cosine
+    quantizer (spherical k-means)."""
+    for _ in range(iterations):
+        assigned = with_ivf_cell(embeddings, centroids, vec_col)
+        rows = (
+            assigned.select(
+                "ivf_cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("ivf_cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .collect()
+        )
+        new = {
+            int(r["ivf_cell"]): [float(x["m"]) for x in r["pm"]]
+            for r in rows
+        }
+
+        def _unit(v: list[float]) -> list[float]:
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            return [x / n for x in v]
+
+        centroids = [
+            (cid, _unit(new[cid])) if cid in new else (cid, cv)
+            for cid, cv in centroids
+        ]
+    return centroids
+
+
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, id_col: str = "vec_id"
+) -> float:
+    """recall@k of an approximate top-k result against the exact one:
+    |approx ids ∩ exact ids| / |exact ids|. Driver-side over two k-row
+    results — the standard ANN quality metric."""
+    exact_ids = {r[id_col] for r in exact.select(id_col).collect()}
+    if not exact_ids:
+        return 1.0
+    approx_ids = {r[id_col] for r in approx.select(id_col).collect()}
+    return len(approx_ids & exact_ids) / len(exact_ids)
 
 
 def with_ivf_cell(
@@ -184,6 +262,7 @@ def ann_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: probe only the n_probe inverted lists
     whose centroids are most cosine-similar to the query. With the
@@ -191,8 +270,14 @@ def ann_topk_ivf(
     the probe set becomes partition pruning; here it is a pushed-down IN
     filter over the map-computed cell id. Driver-side centroid ranking
     uses the same left-fold dot/sqrt arithmetic as the engine, so the
-    probe set is reproducible."""
+    probe set is reproducible. lloyd_iters > 0 refines the seed quantizer
+    with that many spherical-k-means iterations (better-balanced cells,
+    higher recall at the same n_probe; see tests/test_ann_recall.py for
+    the measured effect). The default 0 keeps the index bit-reproducible
+    independent of float-summation order."""
     cents = ivf_seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    if lloyd_iters:
+        cents = ivf_lloyd_iterate(embeddings, cents, lloyd_iters, vec_col)
 
     def _cos(a: list[float], b: list[float]) -> float:
         d = sum(x * y for x, y in zip(a, b))
@@ -251,7 +336,17 @@ def ann_topk_lsh_indexed(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Query the materialized index: identical semantics to ann_topk_lsh
-    but the bucket probe list prunes PARTITIONS of the written table."""
+    but the bucket probe list prunes PARTITIONS of the written table.
+    A query whose dimensionality differs from the stored vectors fails
+    loud here — zip_with over unequal arrays would otherwise yield NULL
+    dot products and a silently-garbage top-k."""
+    idx = spark.read.parquet(index_path)
+    first = idx.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is not None and first["d"] != len(query_vec):
+        raise ValueError(
+            f"query vector has dim {len(query_vec)} but index "
+            f"{index_path} stores dim {first['d']} vectors"
+        )
     qb = _bucket_of(query_vec, n_planes)
     probes = [qb]
     if multiprobe_hamming >= 1:
@@ -264,8 +359,7 @@ def ann_topk_lsh_indexed(
         ]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        spark.read.parquet(index_path)
-        .where(F.col("lsh_bucket").isin(probes))
+        idx.where(F.col("lsh_bucket").isin(probes))
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
@@ -282,15 +376,32 @@ def cosine_near_dup_pairs(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (only
     same-bucket vectors meet) + exact cosine verify. The scale path for
-    embedding dedup of a 100 TB corpus; brute force would be O(n^2)."""
+    embedding dedup of a 100 TB corpus; brute force would be O(n^2).
+
+    max_bucket bounds the worst case the same way lsh_candidate_pairs
+    does for MinHash (functions/text.py): with only 2^n_planes buckets an
+    angularly clustered corpus can drop a large fraction of all vectors
+    into ONE bucket, making the same-bucket self-join O(n^2) inside a
+    single key. Buckets above the cap are excluded from candidate
+    generation (count them via lsh_bucket_sizes below — at cluster scale,
+    re-run the oversized buckets with more planes rather than eating a
+    quadratic join). None disables the cap."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     b = with_lsh_bucket(embeddings, dim, n_planes, vec_col).select(
         F.col(id_col), F.col(vec_col), "lsh_bucket"
     )
+    if max_bucket is not None:
+        sizes = b.groupBy("lsh_bucket").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        b = b.join(
+            sizes.where(F.col("_bucket_n") <= max_bucket), "lsh_bucket"
+        ).drop("_bucket_n")
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(

@@ -23,16 +23,18 @@ in any engine).
 
 Method coverage vs the reference list `bil, bic, nn, dis, con, con2,
 laf` (era5/download.py:290-298): bil/bic/nn/dis/laf below, con via
-conservative_weights_1d. con2 (second-order conservative) adds a
-sub-cell gradient correction that is zero for a piecewise-constant cell
-field — our cells carry one aggregate value, no sub-cell gradient — so
-con2 collapses to con here by construction; callers wanting gradient
-remaps use bicubic.
+conservative_weights_1d, con2 via conservative_weights_1d_2nd +
+remap_con2 — true second-order conservative: the sub-cell gradient is
+estimated from neighbor cells (central difference, one-sided at the
+boundary, the SCRIP/CDO approach) and enters through a second weight
+w2 = w * (overlap_centroid - src_centroid), so linear fields remap
+EXACTLY (see tests/test_remap.py) while constant fields reduce to con
+(w2 term vanishes).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def conservative_weights_1d(
@@ -57,6 +59,92 @@ def conservative_weights_1d(
                 rows.append((i, j, w))
     return spark.createDataFrame(
         rows, "src_cell int, dst_cell int, w double"
+    )
+
+
+def conservative_weights_1d_2nd(
+    spark: SparkSession, n_src: int, n_dst: int
+) -> DataFrame:
+    """Second-order conservative weights (`con2`): the first-order weight
+    w plus the gradient weight w2 = w * (overlap_midpoint - src_centroid)
+    in domain units ([0, 1] ring). The remapped value is
+        dst = sum_i w * f_i  +  sum_i w2 * g_i
+    with g_i the per-src-cell gradient (remap_con2 estimates it from
+    neighbors). For f linear in x this reconstructs sum_i w * f(mid_ij),
+    the EXACT overlap mean — second-order accuracy; for constant fields
+    w2 contributes nothing and con2 == con. Same O(n_src + n_dst) size
+    and broadcast-at-apply contract as conservative_weights_1d."""
+    rows = []
+    for i in range(n_src):
+        lo, hi = i / n_src, (i + 1) / n_src
+        c_i = (lo + hi) / 2
+        j0 = int(lo * n_dst)
+        j1 = min(int(hi * n_dst - 1e-12), n_dst - 1)
+        for j in range(j0, j1 + 1):
+            dlo, dhi = j / n_dst, (j + 1) / n_dst
+            a, b = max(lo, dlo), min(hi, dhi)
+            overlap = max(0.0, b - a)
+            if overlap <= 0:
+                continue
+            w = overlap * n_src
+            rows.append((i, j, w, w * ((a + b) / 2 - c_i)))
+    return spark.createDataFrame(
+        rows, "src_cell int, dst_cell int, w double, w2 double"
+    )
+
+
+def remap_con2(
+    fact: DataFrame,
+    weights: DataFrame,
+    value_col: str,
+    n_src: int,
+    src_key: str = "cell_id",
+    carry_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Apply second-order conservative weights. Expects one fact row per
+    (src cell, *carry_keys) — a gridded field, like remap_laf. The
+    per-cell gradient is a central difference over neighbor cells
+    (one-sided at the domain boundary, 0 for a single isolated cell):
+    one lag/lead window per carry group (a shuffle of the tiny gridded
+    field, n_src rows per group — not of the raw fact table), then the
+    same broadcast-join + hash-aggregate shape as remap_weighted.
+    Output: dst_cell, {value}_remap (= sum w*f + w2*g), w_sum."""
+    h = 1.0 / n_src
+    win = Window.partitionBy(
+        *[F.col(k) for k in carry_keys] if carry_keys else [F.lit(1)]
+    ).orderBy(src_key)
+    f, lag, lead = (
+        F.col(value_col),
+        F.lag(value_col).over(win),
+        F.lead(value_col).over(win),
+    )
+    grad = (
+        F.when(
+            lag.isNotNull() & lead.isNotNull(),
+            (lead - lag) / F.lit(2 * h),
+        )
+        .when(lead.isNotNull(), (lead - f) / F.lit(h))
+        .when(lag.isNotNull(), (f - lag) / F.lit(h))
+        .otherwise(F.lit(0.0))
+    )
+    g = fact.withColumn("_grad", grad)
+    joined = g.join(
+        F.broadcast(weights), g[src_key] == weights["src_cell"]
+    )
+    total = F.sum(
+        (
+            F.col("w") * F.col(value_col)
+            + F.col("w2") * F.col("_grad")
+        ).cast("decimal(38,18)")
+    ).cast("double")
+    return (
+        joined.groupBy("dst_cell", *[F.col(k) for k in carry_keys])
+        .agg(
+            total.alias(f"{value_col}_remap"),
+            F.sum(F.col("w").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("w_sum"),
+        )
     )
 
 

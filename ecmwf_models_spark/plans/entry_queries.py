@@ -1203,6 +1203,86 @@ GROUP BY 1
 """
 
 
+def q_remap_con2(spark, sf_dir):
+    """A1 variant, `con2`: TRUE second-order conservative remap
+    (operators/remap.py conservative_weights_1d_2nd + remap_con2;
+    reference method list era5/download.py:290-298). The gridded source
+    field is the per-cell exact mean (micro-int quantized — identical
+    double in DuckDB); the sub-cell gradient is a neighbor central
+    difference, one-sided at the ring boundary. 64->24 splits boundary
+    cells, so the w2 gradient term genuinely moves values vs plain con."""
+    from ..operators.remap import conservative_weights_1d_2nd, remap_con2
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cell_id", _portable_cell(F.col("user_id"))
+    )
+    micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    fld = ev.groupBy("cell_id").agg(
+        (
+            F.sum(micro).cast("double") / 1000000 / F.count("value")
+        ).alias("val")
+    )
+    w = conservative_weights_1d_2nd(spark, 64, 24)
+    out = remap_con2(fld, w, "val", n_src=64)
+    return out.select(
+        "dst_cell",
+        R6(F.col("val_remap")).alias("val_remap"),
+        R6(F.col("w_sum")).alias("w_sum"),
+    )
+
+
+def _oracle_remap_con2() -> str:
+    # the SAME (w, w2) as conservative_weights_1d_2nd(64, 24), inlined;
+    # repr(float) round-trips to the identical IEEE double in DuckDB
+    rows = []
+    n_src, n_dst = 64, 24
+    for i in range(n_src):
+        lo, hi = i / n_src, (i + 1) / n_src
+        c_i = (lo + hi) / 2
+        j0 = int(lo * n_dst)
+        j1 = min(int(hi * n_dst - 1e-12), n_dst - 1)
+        for j in range(j0, j1 + 1):
+            a = max(lo, j / n_dst)
+            b = min(hi, (j + 1) / n_dst)
+            overlap = max(0.0, b - a)
+            if overlap <= 0:
+                continue
+            wv = overlap * n_src
+            rows.append(f"({i}, {j}, {wv!r}, {wv * ((a + b) / 2 - c_i)!r})")
+    values = ",\n    ".join(rows)
+    # gradient: same central/one-sided difference as remap_con2, h = 1/64
+    return f"""
+WITH w(src_cell, dst_cell, wt, wt2) AS (VALUES
+    {values}
+), fld AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+              % 64 AS INTEGER) AS cell_id,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / count(value) AS val
+  FROM events GROUP BY 1
+), g AS (
+  SELECT cell_id, val,
+         CASE
+           WHEN lag(val) OVER o IS NOT NULL
+                AND lead(val) OVER o IS NOT NULL
+             THEN (lead(val) OVER o - lag(val) OVER o) / (2 * 0.015625)
+           WHEN lead(val) OVER o IS NOT NULL
+             THEN (lead(val) OVER o - val) / 0.015625
+           WHEN lag(val) OVER o IS NOT NULL
+             THEN (val - lag(val) OVER o) / 0.015625
+           ELSE 0.0
+         END AS grad
+  FROM fld
+  WINDOW o AS (ORDER BY cell_id)
+)
+SELECT dst_cell,
+       round({_dsum('wt * val + wt2 * grad')}, 6) AS val_remap,
+       round({_dsum('wt')}, 6) AS w_sum
+FROM g JOIN w ON g.cell_id = w.src_cell
+GROUP BY 1
+"""
+
+
 # -------------------------------- 2-D bilinear / nearest remap (A1 var.)
 #
 # Source field: regular 8x8 (lat, lon) grid (gpi = i*8 + j) holding the
@@ -1775,6 +1855,64 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {thr}
 """
 
 
+# ------------------------------------- real PNG decode features (oracle)
+
+def q_image_decode_features(spark, sf_dir):
+    """End-to-end REAL image decode, value-oracled: gen_media ships
+    genuine PNG bytes (pure-stdlib codec, functions/png.py, scanline
+    filter cycling over all five types), image_features inflates +
+    unfilters them inside the mapInPandas batch, then nearest-resizes to
+    4x4 and channel-pools. The oracle recomputes every feature and the
+    mean luminance from the closed-form pixel value
+    (id*31 + y*7 + x*13 + c*97) % 256 — so a wrong byte anywhere in
+    decode shows up as a value-hash mismatch, not just a row count."""
+    from ..functions.multimodal import gen_media, image_features
+
+    m = gen_media(spark, n=90, width=16, height=12)
+    f = image_features(m, resize_to=(4, 4))
+    return f.select(
+        "media_id",
+        F.posexplode("feat").alias("pos", "feat_v"),
+        "mean_lum",
+    ).select(
+        "media_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round("feat_v", 6).alias("feat_v"),
+        F.round("mean_lum", 6).alias("mean_lum"),
+    )
+
+
+# pixel formula mirrored in SQL; resize grid at (w=16,h=12)->(4,4) is
+# y=3i, x=4j; channel pool = avg over c. Integer sums are exact in
+# float64, so round(.,6) matches the UDF bit-for-bit.
+ORACLE_IMAGE_DECODE = """
+WITH imgs AS (
+  SELECT g AS media_id FROM generate_series(0, 89) t(g) WHERE g % 3 = 0
+), lum AS (
+  SELECT i.media_id,
+         round(avg(CAST((i.media_id*31 + y.y*7 + x.x*13 + c.c*97) % 256
+                        AS DOUBLE)), 6) AS mean_lum
+  FROM imgs i,
+       generate_series(0, 11) y(y),
+       generate_series(0, 15) x(x),
+       generate_series(0, 2) c(c)
+  GROUP BY i.media_id
+), feat AS (
+  SELECT i.media_id,
+         CAST(p.i * 4 + p.j AS INTEGER) AS pos,
+         round(avg(CAST((i.media_id*31 + (p.i*3)*7 + (p.j*4)*13 + c.c*97)
+                        % 256 AS DOUBLE)), 6) AS feat_v
+  FROM imgs i,
+       (SELECT a.a AS i, b.b AS j
+        FROM generate_series(0, 3) a(a), generate_series(0, 3) b(b)) p,
+       generate_series(0, 2) c(c)
+  GROUP BY i.media_id, p.i, p.j
+)
+SELECT f.media_id, f.pos, f.feat_v, l.mean_lum
+FROM feat f JOIN lum l ON f.media_id = l.media_id
+"""
+
+
 QUERIES = {
     "rollup_hourly": q_rollup_hourly,
     "rollup_daily_from_hourly": q_rollup_daily_from_hourly,
@@ -1805,6 +1943,7 @@ QUERIES = {
     "lut_resolve": q_lut_resolve,
     "landmask_derive": q_landmask_derive,
     "remap_weighted": q_remap_weighted,
+    "remap_con2": q_remap_con2,
     "remap_bilinear": q_remap_bilinear,
     "remap_nearest": q_remap_nearest,
     "remap_idw": q_remap_idw,
@@ -1822,6 +1961,7 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_neardup": q_embedding_neardup,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "image_decode_features": q_image_decode_features,
 }
 
 ORACLES = {
@@ -1854,6 +1994,7 @@ ORACLES = {
     "lut_resolve": _oracle_lut_resolve(),
     "landmask_derive": ORACLE_LANDMASK,
     "remap_weighted": _oracle_remap(),
+    "remap_con2": _oracle_remap_con2(),
     "remap_bilinear": ORACLE_REMAP_BILINEAR,
     "remap_nearest": ORACLE_REMAP_NEAREST,
     "remap_idw": ORACLE_REMAP_IDW,
@@ -1871,4 +2012,5 @@ ORACLES = {
     "ann_topk_lsh": _oracle_ann_lsh(),
     "embedding_neardup": _oracle_neardup(),
     "ann_topk_ivf": ORACLE_ANN_IVF,
+    "image_decode_features": ORACLE_IMAGE_DECODE,
 }

@@ -13,6 +13,28 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+# ~200k transcript rows ≈ 30-40 MB of shuffle data per partition — small
+# enough that one task's sort runs fully in its share of off-heap
+# execution memory even at 32 concurrent tasks on one 16g region.
+# Round-4 measurement (BENCH/profile_mem.py, 22.5M turns): with
+# partitions fixed at 2*cores the flagship reshuffle REGRESSED 8->32
+# cores (25s -> 30s; per-task memory shrank 4x while per-task data only
+# halved); sizing partitions by DATA made 32 cores strictly faster
+# (15.7s) and sped up 8 cores too (21.8s). Scaling memory with cores
+# instead (32g heap + 64g off-heap) made it WORSE (38-43s: the round-1
+# big-heap GC cliff returns). Cluster translation: shuffle partitions
+# are a property of the INPUT, not the cluster size — the same count at
+# N and 4N executors, just fewer waves.
+ROWS_PER_SHUFFLE_PARTITION = 200_000
+
+
+def sized_shuffle_partitions(n_rows: int, cores: int | None = None) -> int:
+    """Data-sized shuffle partition count: enough partitions that each
+    sort/aggregate task holds a bounded slice (~ROWS_PER_SHUFFLE_PARTITION
+    rows), floored at 2*cores so small inputs still use the machine."""
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return max(2 * cores, -(-n_rows // ROWS_PER_SHUFFLE_PARTITION))
 # Arrow batch size ~ the reference's imgbuffer pipelining knob
 # (reference cli.py:378-385): bound memory per task batch.
 ARROW_BATCH = 10_000

@@ -1,0 +1,115 @@
+"""Measured recall@k of every approximate ANN path against the exact
+brute-force baseline (functions/similarity.topk_cosine) — the number a
+real user asks for before trusting "approximate". Averaged over many
+query vectors, not one lucky probe. BENCH/ann_recall.py produces the
+same measurement at sf0.01 as a recorded artifact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecmwf_models_spark.functions import similarity as S
+
+K = 10
+N_QUERIES = 20
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    rows = (
+        emb.where(F.col("vec_id") % 25 == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .collect()
+    )
+    return [list(r["embedding"]) for r in rows]
+
+
+def _mean_recall(emb, queries, approx_fn):
+    total = 0.0
+    for q in queries:
+        exact = S.topk_cosine(emb, q, k=K)
+        total += S.recall_at_k(approx_fn(q), exact)
+    return total / len(queries)
+
+
+def test_lsh_recall_multiprobe(emb, queries):
+    # n_planes sized to the corpus: 2^6 buckets over 500 vectors. Measured
+    # (deterministic — fixed data, hash-derived planes): mp1=0.315,
+    # mp2=0.625; with 4 planes mp2 reaches 0.840.
+    r1 = _mean_recall(
+        emb,
+        queries,
+        lambda q: S.ann_topk_lsh(
+            emb, q, k=K, n_planes=6, multiprobe_hamming=1
+        ),
+    )
+    r2 = _mean_recall(
+        emb,
+        queries,
+        lambda q: S.ann_topk_lsh(
+            emb, q, k=K, n_planes=6, multiprobe_hamming=2
+        ),
+    )
+    # wider probe set can only add candidates -> recall monotone in probes
+    assert r2 >= r1
+    assert r2 >= 0.5, f"LSH mp=2 mean recall@{K} = {r2:.3f}"
+
+
+def test_ivf_recall_and_lloyd_refinement(emb, queries):
+    seed = _mean_recall(
+        emb,
+        queries,
+        lambda q: S.ann_topk_ivf(emb, q, k=K, n_centroids=16, n_probe=4),
+    )
+    lloyd = _mean_recall(
+        emb,
+        queries,
+        lambda q: S.ann_topk_ivf(
+            emb, q, k=K, n_centroids=16, n_probe=4, lloyd_iters=1
+        ),
+    )
+    # measured on the fixed sf0.001 corpus: seed=0.545, lloyd1=0.615 —
+    # one spherical-k-means iteration is a real recall gain at the same
+    # n_probe; floor leaves margin, monotonicity allows small noise
+    assert seed >= 0.4, f"IVF seed mean recall@{K} = {seed:.3f}"
+    assert lloyd >= seed - 0.05, f"seed={seed:.3f} lloyd={lloyd:.3f}"
+
+
+def test_ivf_probe_monotone(emb, queries):
+    r2 = _mean_recall(
+        emb,
+        queries,
+        lambda q: S.ann_topk_ivf(emb, q, k=K, n_centroids=16, n_probe=2),
+    )
+    r8 = _mean_recall(
+        emb,
+        queries,
+        lambda q: S.ann_topk_ivf(emb, q, k=K, n_centroids=16, n_probe=8),
+    )
+    assert r8 >= r2
+    # probing half of 16 cells recovers most of the exact set
+    # (measured 0.760 seed / 0.815 after one Lloyd iteration)
+    assert r8 >= 0.7, f"IVF n_probe=8 mean recall@{K} = {r8:.3f}"
+
+
+def test_lloyd_centroids_are_unit_and_stable(emb):
+    cents = S.ivf_seed_centroids(emb, 8)
+    refined = S.ivf_lloyd_iterate(emb, cents, iterations=1)
+    assert [c for c, _ in refined] == [c for c, _ in cents]
+    for _, v in refined:
+        n = sum(x * x for x in v) ** 0.5
+        assert n == pytest.approx(1.0, abs=1e-6)
+    # empty-cell handling: refining with a huge centroid count keeps the
+    # seeds for cells that captured nothing
+    many = S.ivf_seed_centroids(emb, 8)
+    twice = S.ivf_lloyd_iterate(emb, many, iterations=2)
+    assert len(twice) == 8

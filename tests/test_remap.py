@@ -214,3 +214,89 @@ def test_nearest_weights_pick_closest_node(spark):
     assert got[0] == 2 * 8 + 4          # (2.2, 3.6) -> node (2, 4)
     assert got[1] == 1 * 8 + 0          # 0.5 rounds half-up to 1, 0.49 -> 0
     assert got[2] == 7 * 8 + 0          # clamped to corner row/col
+
+
+def test_con2_exact_on_linear_field(spark):
+    """Defining property of SECOND-order conservative remap: a field
+    whose cell means are linear in x remaps to the exact linear dst cell
+    means (first-order con smears them at split cells). Also: constant
+    fields reduce con2 to con, and total mass is conserved exactly
+    (sum_j w2(i,j) == 0 per src cell)."""
+    from ecmwf_models_spark.operators.remap import (
+        conservative_weights_1d_2nd,
+        remap_con2,
+    )
+
+    n_src, n_dst = 64, 24
+    alpha, beta = 3.5, -1.25
+    # cell means of f(x) = alpha*x + beta on [0,1]: f at the centroid
+    fact = spark.createDataFrame(
+        [
+            (i, alpha * ((i + 0.5) / n_src) + beta)
+            for i in range(n_src)
+        ],
+        ["cell_id", "val"],
+    )
+    w = conservative_weights_1d_2nd(spark, n_src, n_dst)
+    out = remap_con2(fact, w, "val", n_src=n_src).toPandas()
+    assert len(out) == n_dst
+    for _, r in out.iterrows():
+        j = int(r["dst_cell"])
+        expect = alpha * ((j + 0.5) / n_dst) + beta
+        got = r["val_remap"] / r["w_sum"]
+        assert got == pytest.approx(expect, abs=1e-9), (j, got, expect)
+
+    # w2 sums to zero per src cell -> mass conservation incl. gradient
+    wp = w.toPandas()
+    per_src = wp.groupby("src_cell")["w2"].sum()
+    assert (per_src.abs() < 1e-15).all()
+
+    # constant field: con2 == con exactly
+    const = spark.createDataFrame(
+        [(i, 7.0) for i in range(n_src)], ["cell_id", "val"]
+    )
+    got = remap_con2(const, w, "val", n_src=n_src).toPandas()
+    assert (got["val_remap"] / got["w_sum"]).round(12).eq(7.0).all()
+
+
+def test_con2_beats_con_on_smooth_field(spark):
+    """Quadratic field: the second-order reconstruction must have
+    strictly smaller max error than first-order con on split cells."""
+    import numpy as np
+
+    from ecmwf_models_spark.operators.remap import (
+        conservative_weights_1d,
+        conservative_weights_1d_2nd,
+        remap_con2,
+        remap_weighted,
+    )
+
+    n_src, n_dst = 64, 24
+    # exact cell means of f(x) = x^2: (hi^3 - lo^3) / (3 (hi - lo))
+    def mean2(lo, hi):
+        return (hi**3 - lo**3) / (3 * (hi - lo))
+
+    fact = spark.createDataFrame(
+        [
+            (i, mean2(i / n_src, (i + 1) / n_src))
+            for i in range(n_src)
+        ],
+        ["cell_id", "val"],
+    )
+    w1 = conservative_weights_1d(spark, n_src, n_dst)
+    w2 = conservative_weights_1d_2nd(spark, n_src, n_dst)
+    con = remap_weighted(fact, w1, ("val",)).toPandas()
+    con2 = remap_con2(fact, w2, "val", n_src=n_src).toPandas()
+    exact = {
+        j: mean2(j / n_dst, (j + 1) / n_dst) for j in range(n_dst)
+    }
+    e1 = max(
+        abs(r["val_remap"] / r["w_sum"] - exact[int(r["dst_cell"])])
+        for _, r in con.iterrows()
+    )
+    e2 = max(
+        abs(r["val_remap"] / r["w_sum"] - exact[int(r["dst_cell"])])
+        for _, r in con2.iterrows()
+    )
+    assert e2 < e1 / 2, (e1, e2)
+    assert np.isfinite(e2)
