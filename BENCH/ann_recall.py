@@ -1,0 +1,98 @@
+"""Recorded recall@k of every approximate ANN path vs the exact
+brute-force baseline (the number a user asks before trusting
+"approximate") — the artifact behind COVERAGE.md's recall table.
+
+Sweeps N_QUERIES query vectors drawn from the corpus itself (every 25th
+id — deterministic, spans the id range) over the sf0.1 embeddings table
+(2000 x 64-d), and measures mean recall@10 for:
+  * LSH hyperplane buckets at multiprobe Hamming radius 0/1/2
+  * IVF-Flat at n_probe 2/4/8, seed centroids vs +1 Lloyd iteration
+Writes BENCH/ann_recall.json and prints a markdown table.
+
+Run: python BENCH/ann_recall.py   [SPARK_GRAFT_SF_DIR to change corpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+K = 10
+N_QUERIES = 40
+N_PLANES = 6  # 2^6 buckets over 2000 vectors ~ 31/bucket
+N_CENTROIDS = 16
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from ecmwf_models_spark.functions import similarity as S
+    from ecmwf_models_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("ann-recall", cores=8)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.cache().count()
+    queries = [
+        list(r["embedding"])
+        for r in emb.where(F.col("vec_id") % 25 == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .collect()
+    ]
+
+    def mean_recall(approx_fn) -> float:
+        total = 0.0
+        for q in queries:
+            exact = S.topk_cosine(emb, q, k=K)
+            total += S.recall_at_k(approx_fn(q), exact)
+        return round(total / len(queries), 3)
+
+    out = {
+        "sf_dir": sf_dir,
+        "n_vectors": emb.count(),
+        "k": K,
+        "n_queries": N_QUERIES,
+        "lsh": {},
+        "ivf": {},
+    }
+    for mp in (0, 1, 2):
+        out["lsh"][f"planes{N_PLANES}_mp{mp}"] = mean_recall(
+            lambda q, mp=mp: S.ann_topk_lsh(
+                emb, q, k=K, n_planes=N_PLANES, multiprobe_hamming=mp
+            )
+        )
+    for lloyd in (0, 1):
+        for npb in (2, 4, 8):
+            out["ivf"][f"c{N_CENTROIDS}_probe{npb}_lloyd{lloyd}"] = (
+                mean_recall(
+                    lambda q, npb=npb, lloyd=lloyd: S.ann_topk_ivf(
+                        emb,
+                        q,
+                        k=K,
+                        n_centroids=N_CENTROIDS,
+                        n_probe=npb,
+                        lloyd_iters=lloyd,
+                    )
+                )
+            )
+
+    with open(os.path.join(HERE, "ann_recall.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+    print(f"\nmean recall@{K} over {N_QUERIES} queries, "
+          f"{out['n_vectors']} vectors ({sf_dir}):\n")
+    print("| path | config | recall@10 |")
+    print("|---|---|---|")
+    for cfg, r in out["lsh"].items():
+        print(f"| LSH | {cfg} | {r} |")
+    for cfg, r in out["ivf"].items():
+        print(f"| IVF | {cfg} | {r} |")
+
+
+if __name__ == "__main__":
+    main()
