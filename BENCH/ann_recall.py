@@ -22,7 +22,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(HERE))
 
 K = 10
-N_QUERIES = 40
+N_QUERIES = 30
 N_PLANES = 6  # 2^6 buckets over 2000 vectors ~ 31/bucket
 N_CENTROIDS = 16
 
@@ -45,11 +45,20 @@ def main():
         .collect()
     ]
 
+    # query-independent work done ONCE (the index-once/query-many
+    # contract): exact baseline id sets per query, and the IVF quantizers
+    exact = [
+        {r["vec_id"] for r in S.topk_cosine(emb, q, k=K).collect()}
+        for q in queries
+    ]
+    cents_seed = S.ivf_seed_centroids(emb, N_CENTROIDS)
+    cents_lloyd = S.ivf_lloyd_iterate(emb, cents_seed, iterations=1)
+
     def mean_recall(approx_fn) -> float:
         total = 0.0
-        for q in queries:
-            exact = S.topk_cosine(emb, q, k=K)
-            total += S.recall_at_k(approx_fn(q), exact)
+        for i, q in enumerate(queries):
+            got = {r["vec_id"] for r in approx_fn(q).collect()}
+            total += len(got & exact[i]) / len(exact[i])
         return round(total / len(queries), 3)
 
     out = {
@@ -66,17 +75,12 @@ def main():
                 emb, q, k=K, n_planes=N_PLANES, multiprobe_hamming=mp
             )
         )
-    for lloyd in (0, 1):
+    for lloyd, cents in ((0, cents_seed), (1, cents_lloyd)):
         for npb in (2, 4, 8):
             out["ivf"][f"c{N_CENTROIDS}_probe{npb}_lloyd{lloyd}"] = (
                 mean_recall(
-                    lambda q, npb=npb, lloyd=lloyd: S.ann_topk_ivf(
-                        emb,
-                        q,
-                        k=K,
-                        n_centroids=N_CENTROIDS,
-                        n_probe=npb,
-                        lloyd_iters=lloyd,
+                    lambda q, npb=npb, cents=cents: S.ann_topk_ivf(
+                        emb, q, k=K, n_probe=npb, centroids=cents
                     )
                 )
             )

@@ -263,6 +263,7 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 0,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: probe only the n_probe inverted lists
     whose centroids are most cosine-similar to the query. With the
@@ -274,10 +275,18 @@ def ann_topk_ivf(
     with that many spherical-k-means iterations (better-balanced cells,
     higher recall at the same n_probe; see tests/test_ann_recall.py for
     the measured effect). The default 0 keeps the index bit-reproducible
-    independent of float-summation order."""
-    cents = ivf_seed_centroids(embeddings, n_centroids, id_col, vec_col)
-    if lloyd_iters:
-        cents = ivf_lloyd_iterate(embeddings, cents, lloyd_iters, vec_col)
+    independent of float-summation order. Pass `centroids` (from
+    ivf_seed_centroids / ivf_lloyd_iterate) to reuse a quantizer across
+    many queries — building it is query-independent work, the
+    index-once/query-many contract (n_centroids/lloyd_iters are then
+    ignored)."""
+    cents = centroids
+    if cents is None:
+        cents = ivf_seed_centroids(embeddings, n_centroids, id_col, vec_col)
+        if lloyd_iters:
+            cents = ivf_lloyd_iterate(
+                embeddings, cents, lloyd_iters, vec_col
+            )
 
     def _cos(a: list[float], b: list[float]) -> float:
         d = sum(x * y for x, y in zip(a, b))
