@@ -1,0 +1,119 @@
+"""Memory-bandwidth probe: pin the host resource that caps 8->32 engine
+scaling (VERDICT r3 #1's "or document precisely which host resource
+saturates, with the probe evidence").
+
+Two probes, run at 1 / 8 / 32 pinned processes in one interleaved
+sweep so host drift hits all levels equally:
+
+  * sha256 chains (cache-resident, pure compute) — what run_scaling.py
+    already uses as its hw ceiling; scales with SMT.
+  * STREAM-style numpy triad a = b + k*c over 32 MB arrays (far past
+    any per-core L3 slice) — aggregate DRAM bandwidth, which is what a
+    sort/shuffle/parquet-write engine actually consumes.
+
+If compute keeps scaling 8->32 while aggregate triad GB/s stays flat,
+the box's DRAM bandwidth saturates at ~8 cores: a single-socket VM
+cannot emulate the 4x-bandwidth step a real 4N-executor cluster brings
+(each executor has its own memory controllers), and the engine's flat
+8->32 scaling is a host ceiling, not engine serialization.
+
+Writes BENCH/bw_probe.json. Run: python BENCH/bw_probe.py [reps]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+from multiprocessing import Pool
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+N_DOUBLES = 4 * 1024 * 1024  # 32 MB per array, 3 arrays per worker
+TRIAD_PASSES = 40
+HASH_TOTAL = 16_000_000
+
+
+def _pin(n_cores: int) -> None:
+    os.sched_setaffinity(0, set(range(n_cores)))
+
+
+def _hash_chain(n: int) -> int:
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
+def _triad(_: int) -> float:
+    b = np.random.default_rng(1).random(N_DOUBLES)
+    c = np.random.default_rng(2).random(N_DOUBLES)
+    a = np.empty_like(b)
+    t0 = time.time()
+    for _ in range(TRIAD_PASSES):
+        np.multiply(c, 3.0, out=a)
+        np.add(a, b, out=a)
+    dt = time.time() - t0
+    # 4 streams x 8 bytes x N x passes (2 reads + 2 write passes per iter)
+    return 4.0 * 8 * N_DOUBLES * TRIAD_PASSES / dt / 1e9
+
+
+def probe(procs: int) -> dict:
+    with Pool(procs, initializer=_pin, initargs=(procs,)) as p:
+        t0 = time.time()
+        p.map(_hash_chain, [HASH_TOTAL // procs] * procs)
+        hashes_per_sec = HASH_TOTAL / (time.time() - t0)
+    with Pool(procs, initializer=_pin, initargs=(procs,)) as p:
+        per_worker = p.map(_triad, range(procs))
+    return {
+        "procs": procs,
+        "hash_per_sec": round(hashes_per_sec, 0),
+        "triad_gbps_aggregate": round(sum(per_worker), 2),
+    }
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    results = []
+    for i in range(reps):
+        window = [probe(n) for n in (1, 8, 32)]
+        results.append(window)
+        print(json.dumps(window), file=sys.stderr)
+
+    def best(level, key):
+        return max(w[level][key] for w in results)
+
+    summary = {
+        "reps": reps,
+        "windows": results,
+        "best_of": {
+            str(n): {
+                "hash_per_sec": best(i, "hash_per_sec"),
+                "triad_gbps": best(i, "triad_gbps_aggregate"),
+            }
+            for i, n in enumerate((1, 8, 32))
+        },
+    }
+    h8, h32 = (
+        summary["best_of"]["8"]["hash_per_sec"],
+        summary["best_of"]["32"]["hash_per_sec"],
+    )
+    b8, b32 = (
+        summary["best_of"]["8"]["triad_gbps"],
+        summary["best_of"]["32"]["triad_gbps"],
+    )
+    summary["scaling_8_to_32"] = {
+        "compute": round(h32 / h8, 2),
+        "dram_bandwidth": round(b32 / b8, 2),
+    }
+    with open(os.path.join(HERE, "bw_probe.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary["best_of"], indent=2))
+    print("8->32 scaling:", json.dumps(summary["scaling_8_to_32"]))
+
+
+if __name__ == "__main__":
+    main()
