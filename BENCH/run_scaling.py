@@ -296,8 +296,14 @@ def _sf1_section(xtra: dict | None) -> str:
         s = json.load(open(os.path.join(HERE, "sf1.json")))
     except (OSError, ValueError):
         return ""
-    base = xtra or {}
+    base = s.get("ref_1x") or xtra or {}
+    paired = "ref_1x" in s
     bp, sp = base.get("phases", {}), s["phases"]
+    ratio = (
+        s.get("throughput_ratio_paired")
+        if paired
+        else s.get("vs_22M_local32", {}).get("throughput_ratio", "-")
+    )
 
     def _r(a, b):
         return f"{b / a:.1f}x" if a else "-"
@@ -305,28 +311,35 @@ def _sf1_section(xtra: dict | None) -> str:
     def _n(v):  # thousands-format numbers, pass "-" through untouched
         return f"{v:,}" if isinstance(v, (int, float)) else str(v)
 
+    ref_label = (
+        "22.5M turns (same window)" if paired else "22.5M turns (best-of)"
+    )
     return f"""
 ## sf1 headroom datapoint (10x, data outgrows memory)
 
 Same metric pipeline at ~{s['n_turns']:,} turns (10x the scaling-run
 input) on local[{s['cpus']}], bronze materialized to DISK parquet
 (/dev/vda, not tmpfs): the deserialized input exceeds executor memory
-(16g heap + 16g off-heap), so the transpose genuinely spills. Recorded
-in `BENCH/sf1.json` (run via `BENCH/run_sf1.py`):
+(16g heap + 16g off-heap), so the transpose genuinely spills. Shuffle
+partitions follow the production sizing rule at both scales
+(~200k rows each -> {s['shuffle_partitions']} at 10x). The 1x
+reference runs PAIRED in the same session and host window (this
+shared box drifts 2-4x across minutes — a cross-day ratio measures
+the weather, not the engine). Recorded in `BENCH/sf1.json`
+(run via `BENCH/run_sf1.py`):
 
-| metric | 22.5M turns | {s['n_turns'] / 1e6:.0f}M turns | ratio |
+| metric | {ref_label} | {s['n_turns'] / 1e6:.0f}M turns | ratio |
 |---|---|---|---|
 | elapsed (s) | {base.get('elapsed_sec', '-')} | {s['elapsed_sec']} | {_r(base.get('elapsed_sec'), s['elapsed_sec'])} for 10x data |
-| turns/s | {_n(base.get('turns_per_sec', '-'))} | {_n(s['turns_per_sec'])} | **{s.get('vs_22M_local32', {}).get('throughput_ratio', '-')}** |
+| turns/s | {_n(base.get('turns_per_sec', '-'))} | {_n(s['turns_per_sec'])} | **{ratio}** |
 | reshuffle + silver write (s) | {bp.get('reshuffle_write', '-')} | {sp['reshuffle_write']} | {_r(bp.get('reshuffle_write'), sp['reshuffle_write'])} |
 | rollup cascade + write (s) | {bp.get('rollup_cascade_write', '-')} | {sp['rollup_cascade_write']} | {_r(bp.get('rollup_cascade_write'), sp['rollup_cascade_write'])} |
 | gap-fill (s) | {bp.get('gapfill', '-')} | {sp['gapfill']} | {_r(bp.get('gapfill'), sp['gapfill'])} |
 
-Per-turn throughput is FLAT at 10x with shuffle partitions sized with
-the data (256 vs 32) — the plans do not depend on the input fitting in
-RAM: the single-shuffle reshuffle spills and streams, the rollup
-cascade aggregates map-side and scales sublinearly, gap-fill is
-bounded by the timeline size. This is the strongest form of the
+Per-turn throughput stays flat at 10x — the plans do not depend on the
+input fitting in RAM: the single-shuffle reshuffle spills and streams,
+the rollup cascade aggregates map-side and scales sublinearly, gap-fill
+is bounded by the timeline size. This is the strongest form of the
 "no query >10x its small-scale time" headroom check.
 """
 

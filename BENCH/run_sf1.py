@@ -11,9 +11,11 @@ What this evidences (the "plans hold when data outgrows memory" check):
     super-linear degradation here would mean a plan that only worked
     because everything fit in RAM.
 
-Shuffle partitions are sized WITH the data (256 at 10x vs 32 at 1x) —
-the one knob a real deployment scales with input size; everything else
-is identical to scaling_job.py.
+Shuffle partitions are sized WITH the data via the production rule
+(`session.sized_shuffle_partitions`, ~200k rows/partition -> ~1127 at
+225M turns vs 113 at 22.5M) — the one knob a real deployment scales
+with input size; everything else is identical to scaling_job.py.
+SF1_SHUFFLE_PARTS overrides for A/B (round 3 ran 256).
 
 Writes BENCH/sf1.json. Run AFTER any scaling measurement (it owns the
 whole box for ~20 min).
@@ -31,7 +33,10 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(HERE))
 
-from ecmwf_models_spark.session import get_spark  # noqa: E402
+from ecmwf_models_spark.session import (  # noqa: E402
+    get_spark,
+    sized_shuffle_partitions,
+)
 
 
 def main():
@@ -40,10 +45,12 @@ def main():
     days = int(os.environ.get("BENCH_DAYS", "90"))
     turns = int(os.environ.get("BENCH_TURNS", "24"))
     n_cells = int(os.environ.get("BENCH_N_CELLS", "256"))
-    shuffle_parts = int(os.environ.get("SF1_SHUFFLE_PARTS", "256"))
+    shuffle_parts = os.environ.get("SF1_SHUFFLE_PARTS")
 
     spark = get_spark(
-        "sf1-headroom", cores=32, shuffle_partitions=shuffle_parts
+        "sf1-headroom",
+        cores=32,
+        shuffle_partitions=int(shuffle_parts) if shuffle_parts else None,
     )
     from ecmwf_models_spark.synth import gen_transcripts
     from scaling_job import pipeline  # same measured job as the scaling runs
@@ -57,10 +64,52 @@ def main():
         bronze = spark.read.parquet(f"{work}/bronze")
         n_turns = bronze.count()
         gen_sec = round(time.time() - t0, 3)
+        if not shuffle_parts:
+            # the production sizing rule at 10x: partitions follow the
+            # DATA (~200k rows each), same rule as every scaling level
+            shuffle_parts = sized_shuffle_partitions(n_turns, 32)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_parts)
+            )
+        shuffle_parts = int(shuffle_parts)
+
+        # JIT warmup on a 1% slice (same reason as scaling_job.py): the
+        # first pipeline execution in a fresh JVM pays 10-20s of codegen
+        # compilation, which would land entirely on whichever measured
+        # run goes first and distort the ratio.
+        warm = gen_transcripts(
+            spark, n_conv=max(n_conv // 100, 1), days=days,
+            turns_per_conv=turns,
+        ).localCheckpoint()
+        pipeline(spark, warm, f"{work}/warm", n_cells)
 
         t0 = time.time()
         phases = pipeline(spark, bronze, work, n_cells)
         elapsed = round(time.time() - t0, 3)
+
+        # PAIRED same-window 1x reference (22.5M turns, same session,
+        # same disk, adjacent minutes): the flat-at-10x claim is a
+        # throughput RATIO, and this shared host drifts 2-4x across
+        # minutes — a ratio against another day's best-of measures the
+        # weather, not the engine. Same principle as the scaling
+        # harness's paired probes (drift across the ~8 min the two runs
+        # span is the residual noise; both directions disclosed).
+        ref_conv = max(n_conv // 10, 1)
+        gen_transcripts(
+            spark, n_conv=ref_conv, days=days, turns_per_conv=turns
+        ).write.mode("overwrite").parquet(f"{work}/bronze_ref")
+        ref_bronze = spark.read.parquet(f"{work}/bronze_ref")
+        ref_turns = ref_bronze.count()
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(sized_shuffle_partitions(ref_turns, 32))
+            if not os.environ.get("SF1_SHUFFLE_PARTS")
+            else str(shuffle_parts),
+        )
+        t0 = time.time()
+        ref_phases = pipeline(spark, ref_bronze, f"{work}/ref", n_cells)
+        ref_elapsed = round(time.time() - t0, 3)
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
 
         result = {
             "n_turns": n_turns,
@@ -72,6 +121,17 @@ def main():
             "turns_per_sec": round(n_turns / elapsed, 1),
             "phases": phases,
             "input_location": "disk parquet (vda), exceeds executor memory",
+            # the PAIRED same-window 1x reference and the in-window ratio:
+            # the honest form of "per-turn throughput flat at 10x"
+            "ref_1x": {
+                "n_turns": ref_turns,
+                "elapsed_sec": ref_elapsed,
+                "turns_per_sec": round(ref_turns / ref_elapsed, 1),
+                "phases": ref_phases,
+            },
+            "throughput_ratio_paired": round(
+                (n_turns / elapsed) / (ref_turns / ref_elapsed), 3
+            ),
         }
         # comparison hook: the 22.5M-turn local[32] point from scaling.json
         try:
