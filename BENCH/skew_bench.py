@@ -46,9 +46,14 @@ SHUFFLE_PARTS = 64
 QUANTILES = "0.05,0.5,0.95,1.0"
 
 
+_UI_BASE = None  # set per-variant from spark.sparkContext.uiWebUrl —
+# Spark binds UI_PORT+1.. when UI_PORT is busy, so never hardcode it
+
+
 def _rest(app_path: str):
+    base = _UI_BASE or f"http://localhost:{UI_PORT}"
     with urllib.request.urlopen(
-        f"http://localhost:{UI_PORT}/api/v1/applications/{app_path}", timeout=10
+        f"{base}/api/v1/applications/{app_path}", timeout=10
     ) as r:
         return json.loads(r.read())
 
@@ -71,6 +76,8 @@ def run_variant(salt: int | None) -> dict:
             "spark.ui.port": str(UI_PORT),
         },
     )
+    global _UI_BASE
+    _UI_BASE = spark.sparkContext.uiWebUrl  # actual bound port
     bronze = gen_transcripts(
         spark,
         n_conv=N_CONV,

@@ -222,7 +222,15 @@ def cmd_ann_index(args):
 
     spark = _spark(args)
     emb = spark.read.parquet(args.embeddings)
-    dim = args.dim or len(emb.select(args.vec_col).first()[0])
+    dim = args.dim
+    if not dim:
+        first = emb.select(args.vec_col).first()
+        if first is None:
+            raise SystemExit(
+                "ann-index: embeddings table is empty — pass --dim or "
+                "provide data"
+            )
+        dim = len(first[0])
     write_ann_index(
         emb, args.out, dim, n_planes=args.n_planes, vec_col=args.vec_col
     )

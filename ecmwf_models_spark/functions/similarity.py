@@ -385,7 +385,7 @@ def cosine_near_dup_pairs(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int | None = 100_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (only
     same-bucket vectors meet) + exact cosine verify. The scale path for
@@ -398,7 +398,10 @@ def cosine_near_dup_pairs(
     single key. Buckets above the cap are excluded from candidate
     generation (count them via lsh_bucket_sizes below — at cluster scale,
     re-run the oversized buckets with more planes rather than eating a
-    quadratic join). None disables the cap."""
+    quadratic join). Default None = exhaustive (the cap is OPT-IN, like
+    minhash_dedup_pairs' — a silent default cap would drop near-dups of
+    hot buckets with no signal to the caller); production jobs at corpus
+    scale should pass a cap and watch lsh_bucket_sizes."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     b = with_lsh_bucket(embeddings, dim, n_planes, vec_col).select(

@@ -46,12 +46,15 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     physical plan, EXECUTING any upstream shuffle stages at
     plan-construction time (and that work is re-done by the real query
     — exchange reuse does not span query executions). A derived input
-    with no file scans ([] inputFiles) is only repartitioned when the
-    session's shuffle-partition count is below target: a shuffle-derived
-    input already carries spark.sql.shuffle.partitions-wide layout, and
-    unconditionally repartitioning it to defaultParallelism would ADD an
-    exchange — and on a cluster where shuffle.partitions > cores it
-    would actually REDUCE parallelism for wide inputs."""
+    with no file scans ([] inputFiles) splits two ways on the OPTIMIZED
+    LOGICAL plan (analysis only — nothing executes): a plan with no
+    wide operator (e.g. createDataFrame over a local collection plus
+    narrow transforms) carries only 1-2 partitions and IS repartitioned;
+    a shuffle-derived plan already carries
+    spark.sql.shuffle.partitions-wide layout and is only repartitioned
+    when that count is below target — unconditionally repartitioning it
+    to defaultParallelism would ADD an exchange, and on a cluster where
+    shuffle.partitions > cores it would actually REDUCE parallelism."""
     spark = df.sparkSession
     sc = spark.sparkContext
     target = sc.defaultParallelism if min_parts is None else min_parts
@@ -61,12 +64,28 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if len(files) >= target:
         return df
     if not files:
-        try:
-            shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except (TypeError, ValueError):
-            shuffle_parts = target  # "auto" etc. — assume wide enough
-        if shuffle_parts >= target:
-            return df
+        # logical (pre-physical) plan string: wide operators mean the
+        # input is shuffle-derived and already shuffle.partitions wide
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        wide_ops = (
+            "Aggregate", "Join", "Window", "Sort", "Deduplicate",
+            "RepartitionByExpression", "Intersect", "Except",
+        )
+        # "Repartition N, true" is a shuffle; ", false" is coalesce (narrow)
+        import re
+
+        wide = any(op in plan for op in wide_ops) or re.search(
+            r"Repartition \d+, true", plan
+        )
+        if wide:
+            try:
+                shuffle_parts = int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                )
+            except (TypeError, ValueError):
+                shuffle_parts = target  # "auto" etc. — assume wide enough
+            if shuffle_parts >= target:
+                return df
     return df.repartition(target)
 
 

@@ -67,7 +67,8 @@ def conservative_weights_1d_2nd(
 ) -> DataFrame:
     """Second-order conservative weights (`con2`): the first-order weight
     w plus the gradient weight w2 = w * (overlap_midpoint - src_centroid)
-    in domain units ([0, 1] ring). The remapped value is
+    in domain units (the [0, 1] interval, non-periodic). The remapped
+    value is
         dst = sum_i w * f_i  +  sum_i w2 * g_i
     with g_i the per-src-cell gradient (remap_con2 estimates it from
     neighbors). For f linear in x this reconstructs sum_i w * f(mid_ij),
@@ -101,13 +102,19 @@ def remap_con2(
     src_key: str = "cell_id",
     carry_keys: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Apply second-order conservative weights. Expects one fact row per
-    (src cell, *carry_keys) — a gridded field, like remap_laf. The
-    per-cell gradient is a central difference over neighbor cells
-    (one-sided at the domain boundary, 0 for a single isolated cell):
-    one lag/lead window per carry group (a shuffle of the tiny gridded
-    field, n_src rows per group — not of the raw fact table), then the
-    same broadcast-join + hash-aggregate shape as remap_weighted.
+    """Apply second-order conservative weights. PRECONDITION: a DENSE
+    gridded field — exactly one fact row per (src cell, *carry_keys)
+    with contiguous cell ids 0..n_src-1 (like remap_laf). The gradient
+    below is lag/lead over src_key ordering at fixed spacing h=1/n_src,
+    so a field with missing cells would difference across the gap at the
+    wrong spacing; gap-fill first (operators/gapfill.py) if the field is
+    sparse. The domain is treated as NON-PERIODIC, a [0,1] interval:
+    the per-cell gradient is a central difference over neighbor cells,
+    ONE-SIDED at both boundary cells (no wraparound), 0 for a single
+    isolated cell. One lag/lead window per carry group (a shuffle of the
+    tiny gridded field, n_src rows per group — not of the raw fact
+    table), then the same broadcast-join + hash-aggregate shape as
+    remap_weighted.
     Output: dst_cell, {value}_remap (= sum w*f + w2*g), w_sum."""
     h = 1.0 / n_src
     win = Window.partitionBy(

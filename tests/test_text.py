@@ -253,3 +253,26 @@ def test_simhash_portable_matches_bit_rule(spark):
             sums[b] += 1 if (h >> b) & 1 else -1
     want = sum(1 << b for b in range(60) if sums[b] > 0)
     assert got == want
+
+
+def test_spread_widens_narrow_local_input(spark):
+    """A createDataFrame input with narrow transforms carries 1-2
+    partitions even when spark.sql.shuffle.partitions >= target — spread
+    must still widen it (the shuffle-parts heuristic applies only to
+    shuffle-DERIVED inputs, detected via the optimized logical plan)."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.createDataFrame([(i, f"doc {i}") for i in range(64)],
+                              ["doc_id", "text"])
+        .coalesce(1)
+        .withColumn("up", F.upper("text"))  # narrow transform
+    )
+    target = spark.sparkContext.defaultParallelism
+    out = X.spread(df)
+    assert out.rdd.getNumPartitions() >= min(target, 64) or target <= 1
+
+    # shuffle-derived input at >= target width is left alone (no extra
+    # exchange): groupBy output already carries shuffle.partitions layout
+    agg = df.groupBy("text").count()
+    assert X.spread(agg) is agg
