@@ -1913,6 +1913,57 @@ FROM feat f JOIN lum l ON f.media_id = l.media_id
 """
 
 
+# ------------------------------------------------- sessionization (batch)
+
+def q_sessionize_gaps(spark, sf_dir):
+    """Gap-based sessionization through the PRODUCTION batch twin of the
+    stateful streaming sessionizer (streaming/sessions.py
+    sessionize_batch; tests/test_sessionize.py proves stateful == batch
+    on the same input). events shimmed to the transcript schema
+    (user_id -> conv_id, event_type as the text payload so length() is
+    engine-portable)."""
+    from ..streaming.sessions import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        F.col("event_type").alias("text"),
+    )
+    s = sessionize_batch(ev, gap_hours=6.0)
+    return s.select(
+        "conv_id",
+        _fmt(F.col("session_start")).alias("session_start"),
+        _fmt(F.col("session_end")).alias("session_end"),
+        "n_turns",
+        "text_len_sum",
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH t AS (
+  SELECT user_id AS conv_id, ts, event_type AS text FROM events
+), g AS (
+  SELECT conv_id, ts, text,
+         CASE WHEN epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                             ORDER BY ts)
+                   > 21600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM t
+), s AS (
+  SELECT conv_id, ts, text,
+         sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts) AS sess
+  FROM g
+)
+SELECT conv_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(text)) AS DOUBLE) AS text_len_sum
+FROM s GROUP BY conv_id, sess
+"""
+
+
 QUERIES = {
     "rollup_hourly": q_rollup_hourly,
     "rollup_daily_from_hourly": q_rollup_daily_from_hourly,
@@ -1962,6 +2013,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_topk_ivf": q_ann_topk_ivf,
     "image_decode_features": q_image_decode_features,
+    "sessionize_gaps": q_sessionize_gaps,
 }
 
 ORACLES = {
@@ -2013,4 +2065,5 @@ ORACLES = {
     "embedding_neardup": _oracle_neardup(),
     "ann_topk_ivf": ORACLE_ANN_IVF,
     "image_decode_features": ORACLE_IMAGE_DECODE,
+    "sessionize_gaps": ORACLE_SESSIONIZE,
 }

@@ -160,6 +160,55 @@ def sessionize_stream(bronze_stream, gap_hours: float = 6.0):
     )
 
 
+def sessionize_batch(df, gap_hours: float = 6.0, text_col: str = "text"):
+    """BATCH twin of the stateful sessionizer — gap-based session
+    assignment as pure SQL windows, the oracle-able form:
+
+        is_new     = (ts - lag(ts) over (partition by conv order by ts))
+                     > gap
+        session_id = sum(is_new) over (partition by conv order by ts)
+        sessions   = group by (conv, session_id):
+                     min(ts), max(ts), count(*), sum(length(text))
+
+    Semantics equal the streaming path's (tests/test_sessionize.py
+    asserts stateful == batch on the same input) with one structural
+    difference: batch sees the whole input, so it also emits each conv's
+    final, still-open session — the streaming operator keeps that one in
+    state until a later turn closes it.
+
+    Scale shape: one shuffle on conv_id shared by the two windows and
+    the aggregation (same partitioning, Catalyst reuses the exchange);
+    the running sum's default RANGE frame makes tied timestamps land in
+    the same session deterministically. Reference parity: sessions are
+    the transcript-domain analogue of the reference's per-gpi time-series
+    segmentation contract (reference era5/reshuffle.py:254-308 resume
+    bookkeeping); the gap rule itself is engine-native."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    gap_us = int(gap_hours * 3600 * 1_000_000)
+    w = Window.partitionBy("conv_id").orderBy("ts")
+    # cast handles TIMESTAMP_NTZ inputs (session tz is UTC, session.py:63,
+    # so the cast is the identity on wall-clock values; the gap is a
+    # difference, tz-shift-invariant regardless)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    is_new = (ts_us - F.lag(ts_us).over(w) > gap_us).cast("long")
+    sess = F.sum(F.coalesce(is_new, F.lit(0))).over(w)  # RANGE frame
+    return (
+        df.withColumn("_sess", sess)
+        .groupBy("conv_id", "_sess")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length(text_col).cast("double")).alias(
+                "text_len_sum"
+            ),
+        )
+        .drop("_sess")
+    )
+
+
 def run_sessionize_available_now(
     spark,
     input_dir: str,

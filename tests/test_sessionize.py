@@ -90,3 +90,64 @@ def test_sessionize_multi_session_single_batch(tmp_path, spark):
     assert len(s) == 4
     assert [r["n_turns"] for r in s] == [1, 1, 1, 1]
     assert [r["text_len_sum"] for r in s] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_batch_twin_matches_stateful(tmp_path, spark):
+    """sessionize_batch (the oracle-able SQL-window form) agrees with the
+    stateful streaming path on the same input: every CLOSED session is
+    identical, and the only extra batch rows are each conv's final
+    still-open session (streaming keeps those in state). Includes a
+    session SPANNING the two availableNow runs (conv C: one turn per
+    batch, within gap) — the resume case."""
+    from ecmwf_models_spark.streaming.sessions import sessionize_batch
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = _bronze_rows(spark, [
+        ("A", 0, "user", "aaaa", None, T("2010-01-01 00:00:00")),
+        ("A", 1, "assistant", "bbbbbb", None, T("2010-01-01 00:30:00")),
+        ("A", 2, "user", "cc", None, T("2010-01-02 10:00:00")),
+        ("B", 0, "user", "dddd", None, T("2010-01-01 05:00:00")),
+        ("C", 0, "user", "xx", None, T("2010-01-01 08:00:00")),
+    ])
+    batch1.write.mode("append").parquet(src)
+    run_sessionize_available_now(spark, src, out, ckpt, gap_hours=6)
+    batch2 = _bronze_rows(spark, [
+        ("A", 3, "user", "e", None, T("2010-01-03 00:00:00")),
+        ("B", 1, "user", "ff", None, T("2010-01-02 00:00:00")),
+        # C continues its open session ACROSS the run boundary (gap 4h)
+        ("C", 1, "assistant", "yyy", None, T("2010-01-01 12:00:00")),
+        # then a gap closes it inside batch 2
+        ("C", 2, "user", "z", None, T("2010-01-02 12:00:00")),
+    ])
+    batch2.write.mode("append").parquet(src)
+    run_sessionize_available_now(spark, src, out, ckpt, gap_hours=6)
+
+    def rowset(df):
+        return {
+            (r["conv_id"], r["session_start"], r["session_end"],
+             r["n_turns"], r["text_len_sum"])
+            for r in df.collect()
+        }
+
+    stateful = rowset(spark.read.parquet(out))
+
+    all_turns = batch1.unionByName(batch2)
+    batch_sessions = sessionize_batch(all_turns, gap_hours=6)
+    full = rowset(batch_sessions)
+    # drop each conv's final (max-start) session: still open in streaming
+    from pyspark.sql import Window
+    w = Window.partitionBy("conv_id")
+    closed = rowset(
+        batch_sessions.withColumn(
+            "_last", F.max("session_start").over(w)
+        ).where(F.col("session_start") != F.col("_last")).drop("_last")
+    )
+
+    assert stateful == closed
+    # sanity: the cross-boundary session C[08:00..12:00] is in BOTH
+    assert ("C", T("2010-01-01 08:00:00"), T("2010-01-01 12:00:00"),
+            2, 5.0) in stateful
+    assert stateful < full  # batch additionally carries the open tails
