@@ -155,6 +155,191 @@ def remap_con2(
     )
 
 
+def _sinr(deg: float) -> float:
+    import math
+
+    return math.sin(math.radians(deg))
+
+
+def _lat_centroid(a_deg: float, b_deg: float) -> float:
+    """Area(cos-lat)-weighted centroid of the lat band [a, b] in DEGREES:
+    integral(lam*cos lam) / integral(cos lam) = (b sin b + cos b - a sin a
+    - cos a) / (sin b - sin a), evaluated in radians, returned in degrees.
+    This is the point where a linear-in-lat field equals its cos-weighted
+    band mean — the anchor that makes con2 second-order exact."""
+    import math
+
+    a, b = math.radians(a_deg), math.radians(b_deg)
+    num = b * math.sin(b) + math.cos(b) - a * math.sin(a) - math.cos(a)
+    den = math.sin(b) - math.sin(a)
+    return math.degrees(num / den)
+
+
+def conservative_weights_2d(
+    spark: SparkSession,
+    src_grid: tuple[float, float, int, float, float, int],
+    dst_grid: tuple[float, float, int, float, float, int],
+) -> DataFrame:
+    """TRUE 2-D area-overlap conservative remap weights between two
+    REGULAR lat/lon grids over the same domain, with spherical (cos-lat)
+    area weighting — the reference's CDO `con`/`con2` methods as 2-D
+    regrids (reference era5/download.py:290-298; SCRIP scheme). Grid spec
+    (lat0, dlat, nlat, lon0, dlon, nlon) gives cell EDGES: cell (i, j)
+    spans [lat0+i*dlat, lat0+(i+1)*dlat] x [lon0+j*dlon, lon0+(j+1)*dlon],
+    flattened row-major to cell_id = i*nlon + j (grid.py numbering).
+
+    Separable on a regular grid: overlap area = (sin latb - sin lata) *
+    (lond - lonc), so the builder enumerates O(nlat_s + nlat_d) lat pairs
+    x O(nlon) lon pairs driver-side (grids are O(1e3) cells; the table is
+    tiny and broadcast at apply like every weights table). Weights are
+    normalized per DST cell (w = A_overlap / A_dst, the CDO convention:
+    dst = area-weighted mean), so with full coverage sum_i w(i, J) == 1
+    and area-weighted dst totals conserve mass exactly
+    (tests/test_remap.py).
+
+    Output columns (src_cell, dst_cell, w, w2lat, w2lon): w2lat =
+    w * (overlap_lat_centroid - src_lat_centroid) and w2lon likewise —
+    the second-order gradient weights, in DEGREE units, with all
+    centroids cos-lat-weighted (_lat_centroid) so a field LINEAR in
+    (lat, lon) remaps exactly through remap_con2_2d. First-order `con`
+    callers just use the w column (remap_weighted)."""
+    lat0s, dlats, nlats, lon0s, dlons, nlons = src_grid
+    lat0d, dlatd, nlatd, lon0d, dlond, nlond = dst_grid
+
+    # contributing (src_i, dst_I) lat pairs: spherical band overlap
+    lat_pairs = []  # (i, I, band_area, overlap_centroid, src_centroid)
+    for i in range(nlats):
+        lo, hi = lat0s + i * dlats, lat0s + (i + 1) * dlats
+        c_src = _lat_centroid(lo, hi)
+        for I in range(nlatd):
+            LO, HI = lat0d + I * dlatd, lat0d + (I + 1) * dlatd
+            a, b = max(lo, LO), min(hi, HI)
+            if b <= a:
+                continue
+            lat_pairs.append(
+                (i, I, _sinr(b) - _sinr(a), _lat_centroid(a, b), c_src)
+            )
+
+    lon_pairs = []  # (j, J, width, overlap_mid, src_mid)
+    for j in range(nlons):
+        lo, hi = lon0s + j * dlons, lon0s + (j + 1) * dlons
+        c_src = (lo + hi) / 2
+        for J in range(nlond):
+            LO, HI = lon0d + J * dlond, lon0d + (J + 1) * dlond
+            c, d = max(lo, LO), min(hi, HI)
+            if d <= c:
+                continue
+            lon_pairs.append((j, J, d - c, (c + d) / 2, c_src))
+
+    rows = []
+    for i, I, aw, clat_ov, clat_s in lat_pairs:
+        dst_lat_area = _sinr(lat0d + (I + 1) * dlatd) - _sinr(
+            lat0d + I * dlatd
+        )
+        for j, J, lw, clon_ov, clon_s in lon_pairs:
+            a_dst = dst_lat_area * (dlond)
+            w = (aw * lw) / a_dst
+            rows.append(
+                (
+                    i * nlons + j,
+                    I * nlond + J,
+                    w,
+                    w * (clat_ov - clat_s),
+                    w * (clon_ov - clon_s),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "src_cell int, dst_cell int, w double, w2lat double, w2lon double",
+    )
+
+
+def cell_centroids_2d(
+    spark: SparkSession,
+    grid: tuple[float, float, int, float, float, int],
+) -> DataFrame:
+    """Per-cell cos-lat-weighted centroids (cell_id, clat, clon) of a
+    regular lat/lon grid — the gradient anchors remap_con2_2d differences
+    against. Driver-built (O(cells) tiny), broadcast at apply."""
+    lat0, dlat, nlat, lon0, dlon, nlon = grid
+    rows = []
+    for i in range(nlat):
+        clat = _lat_centroid(lat0 + i * dlat, lat0 + (i + 1) * dlat)
+        for j in range(nlon):
+            clon = lon0 + (j + 0.5) * dlon
+            rows.append((i * nlon + j, clat, clon))
+    return spark.createDataFrame(
+        rows, "cell_id int, clat double, clon double"
+    )
+
+
+def remap_con2_2d(
+    fact: DataFrame,
+    weights: DataFrame,
+    centroids: DataFrame,
+    value_col: str,
+    nlon: int,
+    src_key: str = "cell_id",
+    carry_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Apply 2-D second-order conservative weights
+    (conservative_weights_2d). PRECONDITION: a DENSE gridded field —
+    exactly one fact row per (src cell, *carry_keys), contiguous
+    row-major cell ids (gap-fill first if sparse; same contract as the
+    1-D remap_con2). Per-cell gradients are central differences of
+    neighbor CELL MEANS against their cos-weighted centroids — lat along
+    fixed lon column j, lon along fixed lat row i — one-sided at grid
+    edges (non-periodic), 0 for a 1-cell axis; exact for linear fields.
+    Two lag/lead windows over the tiny gridded field (n_src rows per
+    carry group), then the same broadcast-join + hash-aggregate shape as
+    remap_weighted. sin/cos live only in the DRIVER-side builders; the
+    distributed plan is pure +-*/ column arithmetic (IEEE-exact,
+    engine-portable — the DuckDB oracle reproduces it bit-for-bit from
+    the same literal weights). Output: dst_cell, {value}_remap
+    (= sum w*f + w2lat*glat + w2lon*glon), w_sum."""
+    f0 = fact.join(
+        F.broadcast(centroids), fact[src_key] == centroids["cell_id"]
+    ).drop("cell_id") if src_key != "cell_id" else fact.join(
+        F.broadcast(centroids), on="cell_id"
+    )
+    g = (
+        f0.withColumn("_i", F.floor(F.col(src_key) / nlon).cast("int"))
+        .withColumn("_j", (F.col(src_key) % nlon).cast("int"))
+    )
+    carry_cols = [F.col(k) for k in carry_keys]
+
+    def _grad(order_col, part_col, c_col):
+        win = Window.partitionBy(*carry_cols, part_col).orderBy(order_col)
+        f, c = F.col(value_col), F.col(c_col)
+        fl, fd = F.lag(f).over(win), F.lead(f).over(win)
+        cl, cd = F.lag(c).over(win), F.lead(c).over(win)
+        return (
+            F.when(fl.isNotNull() & fd.isNotNull(), (fd - fl) / (cd - cl))
+            .when(fd.isNotNull(), (fd - f) / (cd - c))
+            .when(fl.isNotNull(), (f - fl) / (c - cl))
+            .otherwise(F.lit(0.0))
+        )
+
+    g = g.withColumn("_glat", _grad("_i", F.col("_j"), "clat"))
+    g = g.withColumn("_glon", _grad("_j", F.col("_i"), "clon"))
+    joined = g.join(
+        F.broadcast(weights), g[src_key] == weights["src_cell"]
+    )
+    total = F.sum(
+        (
+            F.col("w") * F.col(value_col)
+            + F.col("w2lat") * F.col("_glat")
+            + F.col("w2lon") * F.col("_glon")
+        ).cast("decimal(38,18)")
+    ).cast("double")
+    return joined.groupBy("dst_cell", *carry_cols).agg(
+        total.alias(f"{value_col}_remap"),
+        F.sum(F.col("w").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("w_sum"),
+    )
+
+
 def _cell_fractions(
     lat0: float,
     dlat: float,

@@ -1913,6 +1913,233 @@ FROM feat f JOIN lum l ON f.media_id = l.media_id
 """
 
 
+# --------------------------------------- 2-D conservative remap (con/con2)
+
+_SRC_GRID_2D = (-60.0, 15.0, 8, 0.0, 15.0, 8)   # 8x8 edges, row-major gpi
+_DST_GRID_2D = (-60.0, 24.0, 5, 0.0, 24.0, 5)   # 5x5, same domain
+
+
+def _dense_field_8x8(spark, sf_dir):
+    """The 8x8 events field gap-filled to the DENSE grid (val 0.0 where a
+    cell has no events) — remap_con2_2d's documented one-row-per-cell
+    precondition; the oracle mirrors with generate_series LEFT JOIN."""
+    fld = _src_field_8x8(spark, sf_dir)
+    full = spark.range(64).select(F.col("id").cast("int").alias("cell_id"))
+    return full.join(fld, "cell_id", "left").select(
+        "cell_id", F.coalesce("val", F.lit(0.0)).alias("val")
+    )
+
+
+_ORACLE_DENSE_FIELD = """
+f AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+              % 64 AS INTEGER) AS cell_id,
+         value
+  FROM events
+), fld0 AS (
+  SELECT cell_id,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000 / count(value) AS val
+  FROM f GROUP BY 1
+), fld AS (
+  SELECT CAST(g AS INTEGER) AS cell_id, coalesce(val, 0.0) AS val
+  FROM generate_series(0, 63) t(g) LEFT JOIN fld0 ON g = fld0.cell_id
+)"""
+
+
+def q_remap_con_2d(spark, sf_dir):
+    """A1 variant: TRUE 2-D area-overlap conservative remap (`con` in the
+    reference CDO method list, era5/download.py:290-298) with spherical
+    cos-lat area weighting, 8x8 -> 5x5 lat/lon grids over one domain
+    (operators/remap.py conservative_weights_2d + remap_weighted). The
+    oracle applies the SAME deterministic driver-built weights as SQL
+    literals (the _hyperplane-inlining precedent); the weight MATH is
+    independently pytest-proven (partition of unity, mass conservation —
+    tests/test_remap.py)."""
+    from ..operators.remap import conservative_weights_2d, remap_weighted
+
+    w = conservative_weights_2d(spark, _SRC_GRID_2D, _DST_GRID_2D).select(
+        "src_cell", "dst_cell", "w"
+    )
+    out = remap_weighted(_dense_field_8x8(spark, sf_dir), w, ("val",))
+    return out.select(
+        "dst_cell",
+        R6(F.col("val_remap")).alias("val_remap"),
+        R6(F.col("w_sum")).alias("w_sum"),
+    )
+
+
+def q_remap_con2_2d(spark, sf_dir):
+    """A1 variant: 2-D SECOND-order conservative remap (`con2`,
+    era5/download.py:290-298): per-cell lat/lon gradients from neighbor
+    cell means anchored at cos-weighted centroids, entering through the
+    w2lat/w2lon gradient weights — linear fields remap exactly
+    (tests/test_remap.py). Weights + centroids are driver-built literals
+    in the oracle; gradients and the aggregation are recomputed in SQL
+    from the same field, so the whole distributed apply path is
+    value-verified."""
+    from ..operators.remap import (
+        cell_centroids_2d,
+        conservative_weights_2d,
+        remap_con2_2d,
+    )
+
+    w = conservative_weights_2d(spark, _SRC_GRID_2D, _DST_GRID_2D)
+    cen = cell_centroids_2d(spark, _SRC_GRID_2D)
+    out = remap_con2_2d(
+        _dense_field_8x8(spark, sf_dir), w, cen, "val", nlon=8
+    )
+    return out.select(
+        "dst_cell",
+        R6(F.col("val_remap")).alias("val_remap"),
+        R6(F.col("w_sum")).alias("w_sum"),
+    )
+
+
+def _values_rows(rows) -> str:
+    return ",\n    ".join(
+        "(" + ", ".join(repr(x) for x in r) + ")" for r in rows
+    )
+
+
+def _oracle_remap_con_2d() -> str:
+    w_rows = _con2d_weight_rows()
+    return f"""
+WITH {_ORACLE_DENSE_FIELD},
+w(src_cell, dst_cell, wt, w2lat, w2lon) AS (VALUES
+    {_values_rows(w_rows)}
+)
+SELECT dst_cell,
+       round({_dsum('wt * val')}, 6) AS val_remap,
+       round({_dsum('wt')}, 6) AS w_sum
+FROM w JOIN fld ON w.src_cell = fld.cell_id
+GROUP BY 1
+"""
+
+
+def _con2d_weight_rows():
+    """The SAME weight table conservative_weights_2d builds, as plain
+    python rows — a spark-free re-derivation (oracle strings must build
+    without a session); tests/test_remap.py asserts row-for-row equality
+    with the builder so the twins cannot drift."""
+    import math
+
+    lat0s, dlats, nlats, lon0s, dlons, nlons = _SRC_GRID_2D
+    lat0d, dlatd, nlatd, lon0d, dlond, nlond = _DST_GRID_2D
+
+    def sinr(x):
+        return math.sin(math.radians(x))
+
+    def latc(a_deg, b_deg):
+        a, b = math.radians(a_deg), math.radians(b_deg)
+        return math.degrees(
+            (b * math.sin(b) + math.cos(b) - a * math.sin(a) - math.cos(a))
+            / (math.sin(b) - math.sin(a))
+        )
+
+    lat_pairs, lon_pairs = [], []
+    for i in range(nlats):
+        lo, hi = lat0s + i * dlats, lat0s + (i + 1) * dlats
+        cs = latc(lo, hi)
+        for I in range(nlatd):
+            LO, HI = lat0d + I * dlatd, lat0d + (I + 1) * dlatd
+            a, b = max(lo, LO), min(hi, HI)
+            if b > a:
+                lat_pairs.append((i, I, sinr(b) - sinr(a), latc(a, b), cs))
+    for j in range(nlons):
+        lo, hi = lon0s + j * dlons, lon0s + (j + 1) * dlons
+        cs = (lo + hi) / 2
+        for J in range(nlond):
+            LO, HI = lon0d + J * dlond, lon0d + (J + 1) * dlond
+            c, d = max(lo, LO), min(hi, HI)
+            if d > c:
+                lon_pairs.append((j, J, d - c, (c + d) / 2, cs))
+    rows = []
+    for i, I, aw, clat_ov, clat_s in lat_pairs:
+        dst_lat_area = sinr(lat0d + (I + 1) * dlatd) - sinr(
+            lat0d + I * dlatd
+        )
+        for j, J, lw, clon_ov, clon_s in lon_pairs:
+            w = (aw * lw) / (dst_lat_area * dlond)
+            rows.append(
+                (
+                    i * nlons + j,
+                    I * nlond + J,
+                    w,
+                    w * (clat_ov - clat_s),
+                    w * (clon_ov - clon_s),
+                )
+            )
+    return rows
+
+
+def _con2d_centroid_rows():
+    import math
+
+    lat0, dlat, nlat, lon0, dlon, nlon = _SRC_GRID_2D
+
+    def latc(a_deg, b_deg):
+        a, b = math.radians(a_deg), math.radians(b_deg)
+        return math.degrees(
+            (b * math.sin(b) + math.cos(b) - a * math.sin(a) - math.cos(a))
+            / (math.sin(b) - math.sin(a))
+        )
+
+    return [
+        (i * nlon + j, latc(lat0 + i * dlat, lat0 + (i + 1) * dlat),
+         lon0 + (j + 0.5) * dlon)
+        for i in range(nlat)
+        for j in range(nlon)
+    ]
+
+
+def _oracle_remap_con2_2d() -> str:
+    w_rows = _con2d_weight_rows()
+    c_rows = _con2d_centroid_rows()
+    return f"""
+WITH {_ORACLE_DENSE_FIELD},
+w(src_cell, dst_cell, wt, w2lat, w2lon) AS (VALUES
+    {_values_rows(w_rows)}
+),
+cen(cell_id, clat, clon) AS (VALUES
+    {_values_rows(c_rows)}
+),
+g AS (
+  SELECT fld.cell_id, val, clat, clon,
+         fld.cell_id // 8 AS i, fld.cell_id % 8 AS j
+  FROM fld JOIN cen ON fld.cell_id = cen.cell_id
+), gl AS (
+  SELECT cell_id, val, clat, clon,
+         lag(val)  OVER wy AS fly, lead(val)  OVER wy AS fdy,
+         lag(clat) OVER wy AS cly, lead(clat) OVER wy AS cdy,
+         lag(val)  OVER wx AS flx, lead(val)  OVER wx AS fdx,
+         lag(clon) OVER wx AS clx, lead(clon) OVER wx AS cdx
+  FROM g
+  WINDOW wy AS (PARTITION BY j ORDER BY i),
+         wx AS (PARTITION BY i ORDER BY j)
+), gg AS (
+  SELECT cell_id, val,
+         CASE WHEN fly IS NOT NULL AND fdy IS NOT NULL
+                THEN (fdy - fly) / (cdy - cly)
+              WHEN fdy IS NOT NULL THEN (fdy - val) / (cdy - clat)
+              WHEN fly IS NOT NULL THEN (val - fly) / (clat - cly)
+              ELSE 0.0 END AS glat,
+         CASE WHEN flx IS NOT NULL AND fdx IS NOT NULL
+                THEN (fdx - flx) / (cdx - clx)
+              WHEN fdx IS NOT NULL THEN (fdx - val) / (cdx - clon)
+              WHEN flx IS NOT NULL THEN (val - flx) / (clon - clx)
+              ELSE 0.0 END AS glon
+  FROM gl
+)
+SELECT dst_cell,
+       round({_dsum('wt * val + w2lat * glat + w2lon * glon')}, 6)
+         AS val_remap,
+       round({_dsum('wt')}, 6) AS w_sum
+FROM gg JOIN w ON gg.cell_id = w.src_cell
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------- sessionization (batch)
 
 def q_sessionize_gaps(spark, sf_dir):
@@ -2014,6 +2241,8 @@ QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "image_decode_features": q_image_decode_features,
     "sessionize_gaps": q_sessionize_gaps,
+    "remap_con_2d": q_remap_con_2d,
+    "remap_con2_2d": q_remap_con2_2d,
 }
 
 ORACLES = {
@@ -2066,4 +2295,6 @@ ORACLES = {
     "ann_topk_ivf": ORACLE_ANN_IVF,
     "image_decode_features": ORACLE_IMAGE_DECODE,
     "sessionize_gaps": ORACLE_SESSIONIZE,
+    "remap_con_2d": _oracle_remap_con_2d(),
+    "remap_con2_2d": _oracle_remap_con2_2d(),
 }

@@ -300,3 +300,160 @@ def test_con2_beats_con_on_smooth_field(spark):
     )
     assert e2 < e1 / 2, (e1, e2)
     assert np.isfinite(e2)
+
+
+SRC_GRID = (-60.0, 15.0, 8, 0.0, 15.0, 8)   # 8x8, lat [-60,60] lon [0,120]
+DST_GRID = (-60.0, 24.0, 5, 0.0, 24.0, 5)   # 5x5, same domain
+
+
+def _src_areas():
+    import math
+
+    lat0, dlat, nlat, lon0, dlon, nlon = SRC_GRID
+    out = {}
+    for i in range(nlat):
+        a = math.sin(math.radians(lat0 + i * dlat))
+        b = math.sin(math.radians(lat0 + (i + 1) * dlat))
+        for j in range(nlon):
+            out[i * nlon + j] = (b - a) * dlon
+    return out
+
+
+def _dst_areas():
+    import math
+
+    lat0, dlat, nlat, lon0, dlon, nlon = DST_GRID
+    out = {}
+    for I in range(nlat):
+        a = math.sin(math.radians(lat0 + I * dlat))
+        b = math.sin(math.radians(lat0 + (I + 1) * dlat))
+        for J in range(nlon):
+            out[I * nlon + J] = (b - a) * dlon
+    return out
+
+
+def test_conservative_2d_weights_partition_of_unity(spark):
+    """Same-domain grids: per-dst weights sum to 1 (full coverage) and
+    the gradient weights sum to 0 per src cell against dst areas —
+    the algebraic identities behind mass conservation."""
+    from ecmwf_models_spark.operators.remap import conservative_weights_2d
+
+    w = conservative_weights_2d(spark, SRC_GRID, DST_GRID).toPandas()
+    per_dst = w.groupby("dst_cell")["w"].sum()
+    assert len(per_dst) == 25
+    assert (per_dst - 1.0).abs().max() < 1e-12
+    # sum_J A_dst * w2lat(i,J) == 0 per src cell (centroid identity)
+    ad = _dst_areas()
+    w["aw2lat"] = w.apply(lambda r: ad[int(r["dst_cell"])] * r["w2lat"], axis=1)
+    w["aw2lon"] = w.apply(lambda r: ad[int(r["dst_cell"])] * r["w2lon"], axis=1)
+    g = w.groupby("src_cell")[["aw2lat", "aw2lon"]].sum()
+    assert g.abs().to_numpy().max() < 1e-10
+
+
+def test_conservative_2d_mass_conservation(spark):
+    """Area-weighted dst totals equal area-weighted src totals for both
+    con (trivially) and con2 (gradient terms cancel per src cell), on an
+    arbitrary deterministic field."""
+    from ecmwf_models_spark.operators.remap import (
+        cell_centroids_2d,
+        conservative_weights_2d,
+        remap_con2_2d,
+        remap_weighted,
+    )
+
+    fact = spark.createDataFrame(
+        [(c, float((c * 37 % 101) - 50) / 7.0) for c in range(64)],
+        ["cell_id", "val"],
+    )
+    w = conservative_weights_2d(spark, SRC_GRID, DST_GRID)
+    cen = cell_centroids_2d(spark, SRC_GRID)
+    a_src, a_dst = _src_areas(), _dst_areas()
+    mass_src = sum(
+        a_src[c] * float((c * 37 % 101) - 50) / 7.0 for c in range(64)
+    )
+
+    con = remap_weighted(fact, w.select("src_cell", "dst_cell", "w"),
+                         ("val",)).toPandas()
+    m1 = sum(a_dst[int(r["dst_cell"])] * r["val_remap"]
+             for _, r in con.iterrows())
+    assert abs(m1 - mass_src) < 1e-9 * abs(mass_src)
+
+    con2 = remap_con2_2d(fact, w, cen, "val", nlon=8).toPandas()
+    m2 = sum(a_dst[int(r["dst_cell"])] * r["val_remap"]
+             for _, r in con2.iterrows())
+    assert abs(m2 - mass_src) < 1e-9 * abs(mass_src)
+
+
+def test_conservative_2d_con2_exact_on_linear_field(spark):
+    """A field linear in (lat, lon) — per-cell values at the cos-weighted
+    centroids — remaps EXACTLY under con2_2d (dst value = linear at the
+    dst cell's cos-weighted centroid), while first-order con has real
+    error. The defining second-order property."""
+    from ecmwf_models_spark.operators.remap import (
+        _lat_centroid,
+        cell_centroids_2d,
+        conservative_weights_2d,
+        remap_con2_2d,
+        remap_weighted,
+    )
+
+    al, be, ga = 0.3, -0.11, 2.0
+
+    def lin(clat, clon):
+        return al * clat + be * clon + ga
+
+    cen = cell_centroids_2d(spark, SRC_GRID).collect()
+    fact = spark.createDataFrame(
+        [(r["cell_id"], lin(r["clat"], r["clon"])) for r in cen],
+        ["cell_id", "val"],
+    )
+    w = conservative_weights_2d(spark, SRC_GRID, DST_GRID)
+    cen_df = cell_centroids_2d(spark, SRC_GRID)
+
+    lat0, dlat, nlat, lon0, dlon, nlon = DST_GRID
+    exact = {}
+    for I in range(nlat):
+        clat = _lat_centroid(lat0 + I * dlat, lat0 + (I + 1) * dlat)
+        for J in range(nlon):
+            exact[I * nlon + J] = lin(clat, lon0 + (J + 0.5) * dlon)
+
+    con2 = remap_con2_2d(fact, w, cen_df, "val", nlon=8).toPandas()
+    e2 = max(abs(r["val_remap"] - exact[int(r["dst_cell"])])
+             for _, r in con2.iterrows())
+    assert e2 < 1e-10, e2
+
+    con = remap_weighted(fact, w.select("src_cell", "dst_cell", "w"),
+                         ("val",)).toPandas()
+    e1 = max(abs(r["val_remap"] - exact[int(r["dst_cell"])])
+             for _, r in con.iterrows())
+    assert e1 > 1e-3  # first-order really is first-order here
+
+
+def test_con2d_oracle_rows_match_builder(spark):
+    """The oracle's spark-free weight/centroid re-derivation
+    (plans/entry_queries._con2d_weight_rows/_con2d_centroid_rows) is
+    row-for-row IDENTICAL to the production builders — the twins cannot
+    silently drift."""
+    from ecmwf_models_spark.operators.remap import (
+        cell_centroids_2d,
+        conservative_weights_2d,
+    )
+    from ecmwf_models_spark.plans.entry_queries import (
+        _DST_GRID_2D,
+        _SRC_GRID_2D,
+        _con2d_centroid_rows,
+        _con2d_weight_rows,
+    )
+
+    built = sorted(
+        tuple(r) for r in conservative_weights_2d(
+            spark, _SRC_GRID_2D, _DST_GRID_2D
+        ).collect()
+    )
+    rederived = sorted(_con2d_weight_rows())
+    assert built == rederived  # bit-exact, not approx
+
+    cen = sorted(
+        tuple(r) for r in cell_centroids_2d(spark, _SRC_GRID_2D).collect()
+    )
+    assert cen == sorted(_con2d_centroid_rows())
