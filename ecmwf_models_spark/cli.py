@@ -216,43 +216,73 @@ def cmd_remap(args):
 
 
 def cmd_ann_index(args):
-    """Materialize the LSH ANN index: embeddings written partitioned by
-    lsh_bucket so probes become directory-level partition pruning."""
-    from .functions.similarity import write_ann_index
+    """Materialize an ANN index: embeddings written partitioned by the
+    probe key (lsh_bucket or ivf_cell) so queries become directory-level
+    partition pruning. IVF persists its quantizer under _quantizer."""
+    from .functions import similarity as S
 
     spark = _spark(args)
     emb = spark.read.parquet(args.embeddings)
-    dim = args.dim
-    if not dim:
-        first = emb.select(args.vec_col).first()
-        if first is None:
-            raise SystemExit(
-                "ann-index: embeddings table is empty — pass --dim or "
-                "provide data"
+    if args.method == "lsh":
+        dim = args.dim
+        if not dim:
+            first = emb.select(args.vec_col).first()
+            if first is None:
+                raise SystemExit(
+                    "ann-index: embeddings table is empty — pass --dim or "
+                    "provide data"
+                )
+            dim = len(first[0])
+        S.write_ann_index(
+            emb, args.out, dim, n_planes=args.n_planes,
+            vec_col=args.vec_col,
+        )
+        print(f"ann-index: {args.out} (dim={dim}, planes={args.n_planes})")
+    else:
+        if emb.select(args.vec_col).first() is None:
+            raise SystemExit("ann-index: embeddings table is empty")
+        cents = S.ivf_seed_centroids(
+            emb, args.n_centroids, id_col=args.id_col, vec_col=args.vec_col
+        )
+        if args.lloyd_iters:
+            cents = S.ivf_lloyd_iterate(
+                emb, cents, args.lloyd_iters, vec_col=args.vec_col
             )
-        dim = len(first[0])
-    write_ann_index(
-        emb, args.out, dim, n_planes=args.n_planes, vec_col=args.vec_col
-    )
-    print(f"ann-index: {args.out} (dim={dim}, planes={args.n_planes})")
+        S.write_ivf_index(emb, args.out, cents, vec_col=args.vec_col)
+        print(
+            f"ann-index: {args.out} (ivf, centroids={len(cents)}, "
+            f"lloyd_iters={args.lloyd_iters})"
+        )
 
 
 def cmd_ann_query(args):
-    """Query a materialized ANN index (cosine top-k, multiprobe)."""
-    from .functions.similarity import ann_topk_lsh_indexed
+    """Query a materialized ANN index (cosine top-k; LSH multiprobe or
+    IVF n-probe)."""
+    from .functions import similarity as S
 
     spark = _spark(args)
     qv = [float(x) for x in args.query.split(",")]
-    out = ann_topk_lsh_indexed(
-        spark,
-        args.index,
-        qv,
-        k=args.k,
-        n_planes=args.n_planes,
-        multiprobe_hamming=args.multiprobe,
-        id_col=args.id_col,
-        vec_col=args.vec_col,
-    )
+    if args.method == "lsh":
+        out = S.ann_topk_lsh_indexed(
+            spark,
+            args.index,
+            qv,
+            k=args.k,
+            n_planes=args.n_planes,
+            multiprobe_hamming=args.multiprobe,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+    else:
+        out = S.ann_topk_ivf_indexed(
+            spark,
+            args.index,
+            qv,
+            k=args.k,
+            n_probe=args.n_probe,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
     print(out.toPandas().to_string())
 
 
@@ -355,18 +385,24 @@ def main(argv=None):
     s = sub.add_parser("ann-index")
     s.add_argument("--embeddings", required=True)
     s.add_argument("--out", required=True)
+    s.add_argument("--method", choices=("lsh", "ivf"), default="lsh")
     s.add_argument("--dim", type=int, default=None,
-                   help="default: probed from the first row")
+                   help="lsh: default probed from the first row")
     s.add_argument("--n-planes", type=int, default=8)
+    s.add_argument("--n-centroids", type=int, default=16)
+    s.add_argument("--lloyd-iters", type=int, default=0)
+    s.add_argument("--id-col", default="vec_id")
     s.add_argument("--vec-col", default="embedding")
     s.set_defaults(fn=cmd_ann_index)
 
     s = sub.add_parser("ann-query")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True, help="comma-separated floats")
+    s.add_argument("--method", choices=("lsh", "ivf"), default="lsh")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--n-planes", type=int, default=8)
     s.add_argument("--multiprobe", type=int, default=1)
+    s.add_argument("--n-probe", type=int, default=4)
     s.add_argument("--id-col", default="vec_id")
     s.add_argument("--vec-col", default="embedding")
     s.set_defaults(fn=cmd_ann_query)

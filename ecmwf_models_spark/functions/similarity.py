@@ -378,6 +378,92 @@ def ann_topk_lsh_indexed(
     )
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-Flat index — the index-once/query-many analogue
+    of write_ann_index for the coarse-quantizer path: the embedding table
+    WRITTEN partitioned by ivf_cell, so ann_topk_ivf_indexed probes the
+    n_probe most-similar inverted lists via PARTITION PRUNING
+    (directory-level skip) instead of recomputing the full-table cell
+    assignment per query. At 100 TB that is the difference between
+    O(probed cells / n_centroids of the data) and O(all data) per query.
+
+    The quantizer (centroids from ivf_seed_centroids /
+    ivf_lloyd_iterate) is persisted ALONGSIDE the data as a tiny parquet
+    table under <path>/_quantizer — an underscore directory, so table
+    reads skip it, and it travels with the index on any Hadoop-compatible
+    filesystem (no driver-local file I/O). Repartitioning by cell keeps
+    one writer per cell partition — no small-file explosion."""
+    spark = embeddings.sparkSession
+    b = with_ivf_cell(embeddings, centroids, vec_col)
+    (
+        b.repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+    q = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
+        "cid int, cvec array<double>",
+    )
+    q.coalesce(1).write.mode("overwrite").parquet(f"{path}/_quantizer")
+
+
+def load_ivf_quantizer(spark, path: str) -> list[tuple[int, list[float]]]:
+    """Read back the persisted quantizer (sorted by centroid id —
+    deterministic regardless of file layout)."""
+    rows = spark.read.parquet(f"{path}/_quantizer").orderBy("cid").collect()
+    return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the materialized IVF index: identical semantics to
+    ann_topk_ivf with a prebuilt quantizer, but the probe set prunes
+    PARTITIONS of the written table (asserted in
+    tests/test_similarity.py) — no per-query assignment scan. Centroid
+    ranking reuses the same driver-side cosine as ann_topk_ivf so the
+    probe set is identical. Dimension mismatches fail loud, same
+    contract as ann_topk_lsh_indexed."""
+    cents = load_ivf_quantizer(spark, index_path)
+    if cents and len(cents[0][1]) != len(query_vec):
+        raise ValueError(
+            f"query vector has dim {len(query_vec)} but index "
+            f"{index_path} stores dim {len(cents[0][1])} vectors"
+        )
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    ranked = sorted(cents, key=lambda c: (-_cos(c[1], query_vec), c[0]))
+    probes = [cid for cid, _ in ranked[:n_probe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = spark.read.parquet(index_path)
+    return (
+        idx.where(F.col("ivf_cell").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

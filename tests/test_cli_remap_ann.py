@@ -112,3 +112,36 @@ def test_cli_ann_index_and_query(spark, tmp_path, argv_runner, sf_dir, capsys):
     assert any(l.split()[1] == "0" for l in lines[1:]), out
     assert "1.0" in out
     assert np.isfinite(len(lines))
+
+
+def test_cli_ann_index_and_query_ivf(
+    spark, tmp_path, argv_runner, sf_dir, capsys
+):
+    """--method ivf round-trip: the materialized IVF index (data
+    partitioned by ivf_cell + persisted _quantizer) built and queried
+    entirely through the CLI."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = str(tmp_path / "emb")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "ivfidx")
+    argv_runner(
+        "ann-index", "--embeddings", src, "--out", idx,
+        "--method", "ivf", "--n-centroids", "8", "--lloyd-iters", "1",
+    )
+    files = spark.read.parquet(idx)
+    assert "ivf_cell" in files.columns
+    # quantizer travels with the index (underscore dir: hidden from reads)
+    quant = spark.read.parquet(f"{idx}/_quantizer")
+    assert quant.count() == 8
+
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    argv_runner(
+        "ann-query", "--index", idx, "--method", "ivf",
+        "--query=" + ",".join(str(float(x)) for x in qv),
+        "--k", "5", "--n-probe", "3",
+    )
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    # the query vector itself is always its own nearest neighbour
+    assert any(l.split()[1] == "0" for l in lines[1:]), out
+    assert "1.0" in out
