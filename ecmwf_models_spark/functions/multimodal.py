@@ -2,8 +2,9 @@
 with typed metadata, decoded and featurized inside Arrow-batched UDFs.
 
 Image decode is REAL for PNG payloads — a pure-stdlib codec
-(functions/png.py: zlib inflate + all five PNG scanline filters), no
-native media libraries needed — and gen_media emits genuine PNG bytes,
+(functions/png.py: zlib inflate + all five PNG scanline filters;
+grayscale/RGB/RGBA at 8 and 16 bits plus 8-bit palette) — and gen_media
+emits genuine PNG bytes alternating truecolor and palette encodings,
 so the decode->resize->pool pipeline executes end-to-end and is oracled
 against the closed-form pixel values (entry `image_decode_features`).
 Formats that require native codecs (JPEG via libjpeg, audio/video
@@ -97,17 +98,33 @@ def _synth_pixels(mid: int, width: int, height: int) -> np.ndarray:
     return _synth_pixel_expr(mid, y, x, c).astype(np.uint8)
 
 
+# the synthetic pattern has at most 256 distinct RGB triples, indexed by
+# k = (mid*31 + y*7 + x*13) % 256 with channel c = (k + c*97) % 256 — so
+# the SAME pixels are expressible as a palette (color type 3) image, and
+# alternating encodings exercises the PLTE decode path under the SAME
+# value oracle (image_decode_features) with zero oracle changes
+_SYNTH_PALETTE = np.stack(
+    [(np.arange(256) + c * 97) % 256 for c in range(3)], axis=1
+).astype(np.uint8)
+
+
 def _png_payload_batch(
     mid: pd.Series, width: pd.Series, height: pd.Series
 ) -> pd.Series:
-    return pd.Series(
-        [
-            # cycle the scanline filter with the id so every PNG filter
-            # type (None/Sub/Up/Average/Paeth) is exercised in the wild
-            encode_png(_synth_pixels(int(i), int(w), int(h)), int(i) % 5)
-            for i, w, h in zip(mid, width, height)
-        ]
-    )
+    out = []
+    for i, w, h in zip(mid, width, height):
+        i, w, h = int(i), int(w), int(h)
+        # cycle the scanline filter with the id so every PNG filter
+        # type (None/Sub/Up/Average/Paeth) is exercised in the wild,
+        # for BOTH encodings (image ids are multiples of 3, so i % 5
+        # walks all five filters within each parity class)
+        if (i // 3) % 2 == 1:  # every other image row: palette-encoded
+            y, x = np.ogrid[0:h, 0:w]
+            idx = ((i * 31 + y * 7 + x * 13) % 256).astype(np.uint8)
+            out.append(encode_png(idx, i % 5, palette=_SYNTH_PALETTE))
+        else:
+            out.append(encode_png(_synth_pixels(i, w, h), i % 5))
+    return pd.Series(out)
 
 
 def gen_media(spark, n: int = 64, width: int = 16, height: int = 12) -> DataFrame:

@@ -78,10 +78,12 @@ def test_decode_rejects_truncated_idat():
         decode_png(bytes(data))
 
 
-def test_decode_rejects_16bit_and_interlace():
+def test_decode_rejects_bad_headers():
     img = _img()
     data = bytearray(encode_png(img))
     ihdr = bytes(data).index(b"IHDR") + 4
+    # a LYING bit-depth byte (16 on 8-bit data) now fails on the size
+    # check rather than an unsupported-depth guard
     data16 = bytearray(data)
     data16[ihdr + 8] = 16  # bit depth byte
     with pytest.raises(DecodeError):
@@ -90,6 +92,55 @@ def test_decode_rejects_16bit_and_interlace():
     datai[ihdr + 12] = 1  # interlace byte
     with pytest.raises(DecodeError):
         decode_png(bytes(datai))
+    # sub-byte palette depths stay out of scope and fail loud
+    pal_img = encode_png(
+        np.zeros((4, 4), np.uint8),
+        palette=np.zeros((2, 3), np.uint8),
+    )
+    data4 = bytearray(pal_img)
+    data4[bytes(data4).index(b"IHDR") + 4 + 8] = 4
+    with pytest.raises(DecodeError, match="palette bit depth"):
+        decode_png(bytes(data4))
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_roundtrip_16bit(filter_type, channels):
+    """16-bit samples (big-endian u16): filters operate on BYTES with a
+    2c-byte left offset, so every filter branch is re-exercised at the
+    wider pixel stride. Values span the full u16 range."""
+    rs = np.random.RandomState(11)
+    img = rs.randint(0, 65536, size=(9, 13, channels), dtype=np.uint16)
+    out = decode_png(encode_png(img, filter_type))
+    assert out.dtype == np.uint16
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_palette(filter_type):
+    """Color type 3: indexes filter/unfilter as 1-byte pixels, PLTE
+    lookup expands to RGB on decode."""
+    rs = np.random.RandomState(3)
+    pal = rs.randint(0, 256, size=(17, 3), dtype=np.uint8)
+    idx = rs.randint(0, 17, size=(10, 14), dtype=np.uint8)
+    out = decode_png(encode_png(idx, filter_type, palette=pal))
+    assert out.shape == (10, 14, 3)
+    assert (out == pal[idx]).all()
+
+
+def test_palette_guards():
+    pal = np.zeros((4, 3), np.uint8)
+    # encoder: out-of-range index
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png(np.full((2, 2), 9, np.uint8), palette=pal)
+    # decoder: palette image with its PLTE chunk stripped
+    good = bytearray(encode_png(np.zeros((2, 2), np.uint8), palette=pal))
+    i = bytes(good).index(b"PLTE") - 4
+    (length,) = struct.unpack_from(">I", good, i)
+    del good[i : i + 12 + length]
+    with pytest.raises(DecodeError, match="missing PLTE"):
+        decode_png(bytes(good))
 
 
 def test_decode_image_dispatch():
