@@ -82,7 +82,7 @@ def _nan_to_null(c):
     return F.when(F.isnan(col), F.lit(None)).otherwise(col)
 
 
-def _agg_state(value_cols, n_turns_expr):
+def _agg_state(value_cols, n_turns_expr, first_last=True):
     aggs = [n_turns_expr.alias("n_turns")]
     for c in value_cols:
         v = _nan_to_null(c)
@@ -93,15 +93,24 @@ def _agg_state(value_cols, n_turns_expr):
             F.count(to_micro(c)).alias(f"{c}_cnt"),
             F.min(v).alias(f"{c}_min"),
             F.max(v).alias(f"{c}_max"),
-            # min_by/max_by skip NULL-valued rows, so a NaN row on the
-            # bucket's ts boundary no longer becomes first/last
-            F.min_by(v, F.when(v.isNotNull(), F.col("ts"))).alias(
-                f"{c}_first"
-            ),
-            F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias(
-                f"{c}_last"
-            ),
         ]
+        if first_last:
+            # min_by/max_by skip NULL-valued rows, so a NaN row on the
+            # bucket's ts boundary no longer becomes first/last. NOTE:
+            # min_by/max_by are TypedImperativeAggregates — their
+            # presence moves the WHOLE aggregation from codegen'd
+            # primitive HashAggregate to ObjectHashAggregate;
+            # first_last=False is the fast path for consumers that only
+            # need sum/cnt/min/max (see BENCH/profile_cascade.py for the
+            # measured difference at 32 threads).
+            aggs += [
+                F.min_by(v, F.when(v.isNotNull(), F.col("ts"))).alias(
+                    f"{c}_first"
+                ),
+                F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias(
+                    f"{c}_last"
+                ),
+            ]
     return aggs
 
 
@@ -110,11 +119,12 @@ def rollup_from_raw(
     tier: str = "hourly",
     value_cols: tuple[str, ...] = METRICS,
     ts_col: str = "ts",
+    first_last: bool = True,
 ) -> DataFrame:
     """Tier-0 rollup straight from turn-grain rows."""
     b = F.date_trunc(_TRUNC[tier], F.col(ts_col)).alias("bucket_ts")
     return silver.groupBy("conv_id", b).agg(
-        *_agg_state(value_cols, F.count(F.lit(1)))
+        *_agg_state(value_cols, F.count(F.lit(1)), first_last)
     )
 
 
@@ -122,6 +132,7 @@ def rollup_cascade(
     lower: DataFrame,
     to_tier: str,
     value_cols: tuple[str, ...] = METRICS,
+    first_last: bool = True,
 ) -> DataFrame:
     """Tier k -> tier k+1 by re-aggregating carried state. Exact:
     sum(sum), sum(cnt), min(min), max(max), first = min_by(first, bucket),
@@ -134,22 +145,27 @@ def rollup_cascade(
             F.sum(f"{c}_cnt").alias(f"{c}_cnt"),
             F.min(f"{c}_min").alias(f"{c}_min"),
             F.max(f"{c}_max").alias(f"{c}_max"),
+        ]
+        if first_last:
             # Mirror the tier-0 NaN guard: an all-NaN lower bucket carries
             # NULL first/last, and bucket_ts is never NULL, so an unguarded
             # min_by/max_by could pick that NULL over a sibling bucket's
             # real value. Ordering by a ts nulled-out alongside the value
             # keeps NaN rows invisible at every tier.
-            F.min_by(
-                f"{c}_first",
-                F.when(
-                    F.col(f"{c}_first").isNotNull(), F.col("bucket_ts")
-                ),
-            ).alias(f"{c}_first"),
-            F.max_by(
-                f"{c}_last",
-                F.when(F.col(f"{c}_last").isNotNull(), F.col("bucket_ts")),
-            ).alias(f"{c}_last"),
-        ]
+            aggs += [
+                F.min_by(
+                    f"{c}_first",
+                    F.when(
+                        F.col(f"{c}_first").isNotNull(), F.col("bucket_ts")
+                    ),
+                ).alias(f"{c}_first"),
+                F.max_by(
+                    f"{c}_last",
+                    F.when(
+                        F.col(f"{c}_last").isNotNull(), F.col("bucket_ts")
+                    ),
+                ).alias(f"{c}_last"),
+            ]
     return lower.groupBy("conv_id", b).agg(*aggs)
 
 
@@ -169,9 +185,10 @@ def finalize(df: DataFrame, value_cols: tuple[str, ...] = METRICS) -> DataFrame:
             f"{c}_sum", F.col(f"{c}_sum").cast("double") / MICRO
         )
         for suffix in ("min", "max", "first", "last"):
-            out = out.withColumn(
-                f"{c}_{suffix}", F.col(f"{c}_{suffix}").cast("float")
-            )
+            if f"{c}_{suffix}" in df.columns:  # first_last=False tiers
+                out = out.withColumn(
+                    f"{c}_{suffix}", F.col(f"{c}_{suffix}").cast("float")
+                )
     return out
 
 
