@@ -5,10 +5,12 @@ scales 1.43x from 8 to 32 cores but rollup_cascade_write is ~flat
 (17.8s -> 16.2s). Candidate explanations named by the verdict: (a) the
 three chained aggregations post-AQE coalesce to too few partitions,
 (b) commit serialization, (c) a driver-side serial fraction. Candidate
-(d) from the plan: min_by/max_by make every rollup an
-ObjectHashAggregate — per-group OBJECT state on the GC heap (off-heap
-Tungsten only covers primitive hash aggregation), so at 32 threads the
-allocation rate quadruples against the same 16g heap.
+(d) from the plan: the chained cascade shuffles THREE times, and the
+hourly tier barely reduces at transcript grain, so tier-1's exchange
+moves 15-field aggregate state rows wider than the raw input. (An
+earlier suspicion — min_by/max_by forcing ObjectHashAggregate — is
+disproven by the plan: Spark 4 compiles them as DeclarativeAggregates
+and every variant here runs codegen'd HashAggregate.)
 
 This harness runs ONLY the cascade phase (silver pre-written once per
 JVM, not measured) at 8 and 32 pinned cores and dumps per-stage REST
@@ -90,12 +92,19 @@ def cascade_once():
         ) as r:
             return json.loads(r.read())
 
-    first_last = os.environ.get("PROFILE_CASCADE_FIRSTLAST", "1") == "1"
+    from ecmwf_models_spark.operators.rollup import rollup_tiers
+
+    variant = os.environ.get("PROFILE_CASCADE_VARIANT", "full")
     seen = {s["stageId"] for s in stages()}
     t0 = time.time()
-    hourly = rollup_from_raw(silver, "hourly", first_last=first_last)
-    daily = rollup_cascade(hourly, "daily", first_last=first_last)
-    monthly = rollup_cascade(daily, "monthly", first_last=first_last)
+    if variant == "oneshuf":
+        # production path: single narrow exchange, tiers pipelined
+        monthly = rollup_tiers(silver)["monthly"]
+    else:
+        fl = variant == "full"  # "prim" drops first/last state
+        hourly = rollup_from_raw(silver, "hourly", first_last=fl)
+        daily = rollup_cascade(hourly, "daily", first_last=fl)
+        monthly = rollup_cascade(daily, "monthly", first_last=fl)
     finalize(monthly).write.mode("overwrite").parquet(f"{out}/monthly")
     wall = round(time.time() - t0, 3)
 
@@ -130,12 +139,14 @@ def cascade_once():
 def main():
     n_conv = sys.argv[1] if len(sys.argv) > 1 else "600000"
     results = []
-    # full = production state (min_by/max_by -> ObjectHashAggregate);
-    # prim = sum/cnt/min/max only (codegen'd primitive HashAggregate).
-    # If prim's total CPU also inflates 8->32, the flat phase is the
-    # box's bandwidth/SMT ceiling; if only full inflates, it's the
-    # object-hash operator.
-    for variant, fl in (("full", "1"), ("prim", "0")):
+    # full    = chained 3-shuffle cascade, full state (round-4 shape);
+    # prim    = chained, sum/cnt/min/max only (narrower state rows);
+    # oneshuf = production rollup_tiers: ONE narrow exchange by conv_id,
+    #           all tiers pipelined (the round-5 fix).
+    # All three plan as codegen'd HashAggregate (Spark 4 min_by/max_by
+    # are DeclarativeAggregates) — the discriminator is shuffle volume
+    # and state width, not aggregate exec choice.
+    for variant in ("full", "prim", "oneshuf"):
         for cpus in (8, 32):
             shm = f"/dev/shm/pcasc_{cpus}"
             os.makedirs(shm, exist_ok=True)
@@ -149,7 +160,7 @@ def main():
                 BENCH_N_CONV=n_conv,
                 SPARK_GRAFT_FAST_COMMIT="1",
                 PROFILE_CASCADE_CHILD="1",
-                PROFILE_CASCADE_FIRSTLAST=fl,
+                PROFILE_CASCADE_VARIANT=variant,
             )
             pin = (
                 ["taskset", "-c", f"0-{cpus - 1}"]

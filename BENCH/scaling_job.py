@@ -38,11 +38,7 @@ def pipeline(spark, bronze, out_dir, n_cells):
     """The measured job: reshuffle+write -> rollup cascade+write -> gapfill."""
     from ecmwf_models_spark.operators.gapfill import gap_fill
     from ecmwf_models_spark.operators.reshuffle import reshuffle, write_silver
-    from ecmwf_models_spark.operators.rollup import (
-        finalize,
-        rollup_cascade,
-        rollup_from_raw,
-    )
+    from ecmwf_models_spark.operators.rollup import finalize, rollup_tiers
 
     phases = {}
     t0 = time.time()
@@ -52,9 +48,9 @@ def pipeline(spark, bronze, out_dir, n_cells):
 
     t0 = time.time()
     silver = spark.read.parquet(silver_path)
-    hourly = rollup_from_raw(silver, "hourly")
-    daily = rollup_cascade(hourly, "daily")
-    monthly = rollup_cascade(daily, "monthly")
+    # one-shuffle cascade: single narrow-row exchange by conv_id, all
+    # three tier aggregations pipelined in one stage (rollup.rollup_tiers)
+    monthly = rollup_tiers(silver)["monthly"]
     finalize(monthly).write.mode("overwrite").parquet(f"{out_dir}/monthly")
     phases["rollup_cascade_write"] = round(time.time() - t0, 3)
 

@@ -31,11 +31,7 @@ def _engine_queries(spark, sf_dir):
     from ecmwf_models_spark import codec
     from ecmwf_models_spark.operators.gapfill import gap_fill
     from ecmwf_models_spark.operators.reshuffle import reshuffle
-    from ecmwf_models_spark.operators.rollup import (
-        finalize,
-        rollup_cascade,
-        rollup_from_raw,
-    )
+    from ecmwf_models_spark.operators.rollup import finalize, rollup_tiers
     from ecmwf_models_spark.synth import gen_transcripts
 
     sf = _sf_of(sf_dir)
@@ -61,9 +57,9 @@ def _engine_queries(spark, sf_dir):
         return _silver()
 
     def eng_rollup_cascade():
-        hourly = rollup_from_raw(_silver(), "hourly")
-        daily = rollup_cascade(hourly, "daily")
-        return finalize(rollup_cascade(daily, "monthly"))
+        # one-shuffle cascade (rollup_tiers): single narrow exchange by
+        # conv_id, all three tier aggregations pipelined in one stage
+        return finalize(rollup_tiers(_silver())["monthly"])
 
     def eng_gapfill():
         return gap_fill(_silver())

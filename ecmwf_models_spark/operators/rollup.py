@@ -97,12 +97,12 @@ def _agg_state(value_cols, n_turns_expr, first_last=True):
         if first_last:
             # min_by/max_by skip NULL-valued rows, so a NaN row on the
             # bucket's ts boundary no longer becomes first/last. NOTE:
-            # min_by/max_by are TypedImperativeAggregates — their
-            # presence moves the WHOLE aggregation from codegen'd
-            # primitive HashAggregate to ObjectHashAggregate;
-            # first_last=False is the fast path for consumers that only
-            # need sum/cnt/min/max (see BENCH/profile_cascade.py for the
-            # measured difference at 32 threads).
+            # in Spark 4 min_by/max_by are DeclarativeAggregates
+            # (valueWithExtremumOrdering primitive buffers) — the rollup
+            # stays a codegen'd HashAggregate either way; first_last=False
+            # is a narrower-state variant for consumers that only need
+            # sum/cnt/min/max (BENCH/profile_cascade.py uses it to
+            # isolate state-width effects at 32 threads).
             aggs += [
                 F.min_by(v, F.when(v.isNotNull(), F.col("ts"))).alias(
                     f"{c}_first"
@@ -193,11 +193,41 @@ def finalize(df: DataFrame, value_cols: tuple[str, ...] = METRICS) -> DataFrame:
 
 
 def rollup_tiers(
-    silver: DataFrame, value_cols: tuple[str, ...] = METRICS
+    silver: DataFrame,
+    value_cols: tuple[str, ...] = METRICS,
+    ts_col: str = "ts",
+    first_last: bool = True,
+    one_shuffle: bool = True,
 ) -> dict[str, DataFrame]:
     """The full cascade. Returns raw-state tier DataFrames (finalize() for
-    serving)."""
-    hourly = rollup_from_raw(silver, "hourly", value_cols)
-    daily = rollup_cascade(hourly, "daily", value_cols)
-    monthly = rollup_cascade(daily, "monthly", value_cols)
+    serving).
+
+    one_shuffle=True (default) plans the whole cascade behind a SINGLE
+    exchange. The naive chain shuffles three times, and at transcript
+    grain the hourly tier barely reduces (a conversation emits ~one turn
+    per hour bucket), so tier-1's exchange moves 15-field aggregate STATE
+    rows — wider than the raw input. Instead: project the narrow raw
+    columns (conv_id, ts, metrics) and hash-repartition by conv_id once.
+    HashPartitioning(conv_id) satisfies ClusteredDistribution(conv_id,
+    date_trunc(tier, ts)) — rows that agree on (conv_id, bucket) agree on
+    conv_id — so EnsureRequirements inserts no further exchange for ANY
+    tier: hourly, daily and monthly aggregate pipelined in one stage
+    (plan-asserted in tests/test_plans.py). Results are bit-identical to
+    the chained path (int64 sums, min/max/min_by are order-independent).
+
+    Cluster note: partitioning by conversation holds at any executor
+    count and any tier — this is the 100 TB plan shape (one narrow-row
+    shuffle total instead of three wide-state ones). A pathological
+    mega-conversation concentrates its groups in one task; group count
+    per task stays bounded by the same keys-per-task argument as the
+    shuffle-partition sizing rule (session.py).
+    """
+    base = silver
+    if one_shuffle:
+        base = silver.select("conv_id", ts_col, *value_cols).repartition(
+            "conv_id"
+        )
+    hourly = rollup_from_raw(base, "hourly", value_cols, ts_col, first_last)
+    daily = rollup_cascade(hourly, "daily", value_cols, first_last)
+    monthly = rollup_cascade(daily, "monthly", value_cols, first_last)
     return {"hourly": hourly, "daily": daily, "monthly": monthly}

@@ -84,10 +84,13 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # min_by/max_by/first-last are TypedImperativeAggregates -> Object
-        # hash aggregation; the default sort-based fallback threshold (128
-        # keys!) silently turns every high-cardinality rollup into a
-        # sort-aggregate. Keys-per-task stays bounded because shuffle
+        # collect_set/collect_list (minhash signatures, codec packing) are
+        # TypedImperativeAggregates -> Object hash aggregation; the default
+        # sort-based fallback threshold (128 keys!) silently turns every
+        # high-cardinality object aggregation into a sort-aggregate. (The
+        # rollups are NOT affected: Spark 4 plans min_by/max_by as
+        # DeclarativeAggregates on the primitive HashAggregate path.)
+        # Keys-per-task stays bounded because shuffle
         # partitions are sized with the data (keys/partition ~= group
         # count / shuffle partitions), so a 4M-key hash map (~tens of MB)
         # is the cheaper, bounded choice at any cluster size.

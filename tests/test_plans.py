@@ -150,3 +150,22 @@ def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
     cents = ivf_seed_centroids(emb, 8)
     plan = plan_of(with_ivf_cell(emb, cents), "simple")
     assert "Exchange" not in plan, plan
+
+
+def test_rollup_tiers_single_exchange(bronze):
+    """Production cascade (rollup_tiers): ONE exchange total for all three
+    tiers. HashPartitioning(conv_id) from the single narrow repartition
+    satisfies ClusteredDistribution(conv_id, date_trunc(...)) at every
+    tier, so hourly->daily->monthly aggregate pipelined in one stage —
+    the 100 TB shape (one raw-row shuffle instead of three wide-state
+    ones). Also asserts the whole cascade stays on codegen'd
+    HashAggregate (no ObjectHashAggregate / SortAggregate fallback)."""
+    from ecmwf_models_spark.operators.rollup import rollup_tiers
+
+    silver = reshuffle(bronze).localCheckpoint()  # isolate cascade plan
+    monthly = rollup_tiers(silver)["monthly"]
+    plan = plan_of(monthly, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 6, plan  # partial+final x 3
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "SortAggregate" not in plan, plan
