@@ -39,6 +39,82 @@ from ecmwf_models_spark.session import (  # noqa: E402
 )
 
 
+def disk_probe(path: str, gib: int = 4) -> dict:
+    """Sequential write+read bandwidth of the device behind `path` via dd
+    with O_DIRECT (page cache bypassed) — the /dev/vda ceiling every
+    disk-resident shuffle byte must pass through. The DRAM analogue is
+    BENCH/bw_probe.py; this is the disk leg of the same attribution
+    argument: on a real cluster, local-SSD bandwidth scales with executor
+    count, this sandbox has ONE virtio disk shared by all 32 threads."""
+    import subprocess
+
+    f = os.path.join(path, "_dd_probe.bin")
+    out = {}
+    try:
+        t0 = time.time()
+        subprocess.run(
+            ["dd", f"if=/dev/zero", f"of={f}", "bs=1M",
+             f"count={gib * 1024}", "oflag=direct"],
+            check=True, capture_output=True,
+        )
+        out["write_mb_s"] = round(gib * 1024 / (time.time() - t0), 1)
+        t0 = time.time()
+        subprocess.run(
+            ["dd", f"if={f}", "of=/dev/null", "bs=1M", "iflag=direct"],
+            check=True, capture_output=True,
+        )
+        out["read_mb_s"] = round(gib * 1024 / (time.time() - t0), 1)
+    except (subprocess.CalledProcessError, OSError) as e:
+        out["error"] = str(e)[:200]
+    finally:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    return out
+
+
+class PhaseMetrics:
+    """Cumulative-stage-metric snapshots at phase boundaries -> per-phase
+    deltas of the bytes that actually moved (shuffle write/read, spill,
+    input, output). This is the evidence for WHERE the sf1 superlinearity
+    lives: phase seconds vs phase bytes over the measured disk ceiling."""
+
+    KEYS = {
+        "shuffle_write_mb": "shuffleWriteBytes",
+        "shuffle_read_mb": "shuffleReadBytes",
+        "spill_disk_mb": "diskBytesSpilled",
+        "spill_mem_mb": "memoryBytesSpilled",
+        "input_mb": "inputBytes",
+        "output_mb": "outputBytes",
+    }
+
+    def __init__(self, spark):
+        import urllib.request
+
+        self._url = (
+            f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+            f"{spark.sparkContext.applicationId}/stages"
+        )
+        self._open = urllib.request.urlopen
+        self._last = self._totals()
+        self.phases = {}
+
+    def _totals(self) -> dict:
+        with self._open(f"{self._url}?status=complete") as r:
+            stages = json.loads(r.read())
+        return {
+            k: sum(s[v] for s in stages) for k, v in self.KEYS.items()
+        }
+
+    def __call__(self, phase: str) -> None:  # the pipeline phase_hook
+        now = self._totals()
+        self.phases[phase] = {
+            k: round((now[k] - self._last[k]) / 1e6) for k in self.KEYS
+        }
+        self._last = now
+
+
 def main():
     os.environ.setdefault("SPARK_GRAFT_FAST_COMMIT", "1")
     n_conv = int(os.environ.get("SF1_N_CONV", "6000000"))
@@ -51,6 +127,7 @@ def main():
         "sf1-headroom",
         cores=32,
         shuffle_partitions=int(shuffle_parts) if shuffle_parts else None,
+        extra_conf={"spark.ui.enabled": "true"},  # REST metrics source
     )
     from ecmwf_models_spark.synth import gen_transcripts
     from scaling_job import pipeline  # same measured job as the scaling runs
@@ -83,8 +160,11 @@ def main():
         ).localCheckpoint()
         pipeline(spark, warm, f"{work}/warm", n_cells)
 
+        disk = disk_probe(work)  # vda ceiling, measured before the job
+
+        metrics_10x = PhaseMetrics(spark)
         t0 = time.time()
-        phases = pipeline(spark, bronze, work, n_cells)
+        phases = pipeline(spark, bronze, work, n_cells, metrics_10x)
         elapsed = round(time.time() - t0, 3)
 
         # PAIRED same-window 1x reference (22.5M turns, same session,
@@ -106,8 +186,11 @@ def main():
             if not os.environ.get("SF1_SHUFFLE_PARTS")
             else str(shuffle_parts),
         )
+        metrics_1x = PhaseMetrics(spark)
         t0 = time.time()
-        ref_phases = pipeline(spark, ref_bronze, f"{work}/ref", n_cells)
+        ref_phases = pipeline(
+            spark, ref_bronze, f"{work}/ref", n_cells, metrics_1x
+        )
         ref_elapsed = round(time.time() - t0, 3)
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
 
@@ -120,6 +203,8 @@ def main():
             "elapsed_sec": elapsed,
             "turns_per_sec": round(n_turns / elapsed, 1),
             "phases": phases,
+            "phase_bytes": metrics_10x.phases,
+            "disk_probe": disk,
             "input_location": "disk parquet (vda), exceeds executor memory",
             # the PAIRED same-window 1x reference and the in-window ratio:
             # the honest form of "per-turn throughput flat at 10x"
@@ -128,6 +213,7 @@ def main():
                 "elapsed_sec": ref_elapsed,
                 "turns_per_sec": round(ref_turns / ref_elapsed, 1),
                 "phases": ref_phases,
+                "phase_bytes": metrics_1x.phases,
             },
             "throughput_ratio_paired": round(
                 (n_turns / elapsed) / (ref_turns / ref_elapsed), 3

@@ -34,8 +34,12 @@ sys.path.insert(
 from ecmwf_models_spark.session import get_spark  # noqa: E402
 
 
-def pipeline(spark, bronze, out_dir, n_cells):
-    """The measured job: reshuffle+write -> rollup cascade+write -> gapfill."""
+def pipeline(spark, bronze, out_dir, n_cells, phase_hook=None):
+    """The measured job: reshuffle+write -> rollup cascade+write -> gapfill.
+
+    phase_hook(name), when given, fires after each phase completes —
+    run_sf1.py uses it to snapshot cumulative stage metrics (shuffle
+    bytes, spill) from the REST API at phase boundaries."""
     from ecmwf_models_spark.operators.gapfill import gap_fill
     from ecmwf_models_spark.operators.reshuffle import reshuffle, write_silver
     from ecmwf_models_spark.operators.rollup import finalize, rollup_tiers
@@ -45,6 +49,8 @@ def pipeline(spark, bronze, out_dir, n_cells):
     silver_path = f"{out_dir}/silver"
     write_silver(reshuffle(bronze, n_cells=n_cells), silver_path)
     phases["reshuffle_write"] = round(time.time() - t0, 3)
+    if phase_hook:
+        phase_hook("reshuffle_write")
 
     t0 = time.time()
     silver = spark.read.parquet(silver_path)
@@ -53,10 +59,14 @@ def pipeline(spark, bronze, out_dir, n_cells):
     monthly = rollup_tiers(silver)["monthly"]
     finalize(monthly).write.mode("overwrite").parquet(f"{out_dir}/monthly")
     phases["rollup_cascade_write"] = round(time.time() - t0, 3)
+    if phase_hook:
+        phase_hook("rollup_cascade_write")
 
     t0 = time.time()
     gap_fill(silver).count()
     phases["gapfill"] = round(time.time() - t0, 3)
+    if phase_hook:
+        phase_hook("gapfill")
     return phases
 
 
