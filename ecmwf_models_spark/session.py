@@ -32,9 +32,20 @@ ROWS_PER_SHUFFLE_PARTITION = 200_000
 def sized_shuffle_partitions(n_rows: int, cores: int | None = None) -> int:
     """Data-sized shuffle partition count: enough partitions that each
     sort/aggregate task holds a bounded slice (~ROWS_PER_SHUFFLE_PARTITION
-    rows), floored at 2*cores so small inputs still use the machine."""
+    rows), floored at 2*cores so small inputs still use the machine.
+
+    The data-sized count is then rounded UP to the next multiple of the
+    total core count: a stage runs in whole waves, and a fractional last
+    wave idles most of the machine while the tail finishes (113
+    partitions at 32 cores = 3 full waves + a 17-task wave at 53%
+    utilization — ~12% of the stage lost to quantization; at 8 cores the
+    same count is 14+ waves and loses <1%, which silently biases any
+    8-vs-32 comparison). Rounding up keeps per-task slices within the
+    memory bound (slices only shrink) and translates directly to a
+    cluster: round up to a multiple of total executor cores."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return max(2 * cores, -(-n_rows // ROWS_PER_SHUFFLE_PARTITION))
+    data_sized = max(2 * cores, -(-n_rows // ROWS_PER_SHUFFLE_PARTITION))
+    return -(-data_sized // cores) * cores
 # Arrow batch size ~ the reference's imgbuffer pipelining knob
 # (reference cli.py:378-385): bound memory per task batch.
 ARROW_BATCH = 10_000
