@@ -61,6 +61,28 @@ def _triad(_: int) -> float:
     return 4.0 * 8 * N_DOUBLES * TRIAD_PASSES / dt / 1e9
 
 
+RAND_N = 64 * 1024 * 1024  # 512 MB table per worker — far past L3
+RAND_ACCESSES = 8 * 1024 * 1024
+
+
+def _scatter(_: int) -> float:
+    """Random-access throughput (the hash-aggregate's memory pattern:
+    hash a key, touch a random slot in a table much larger than cache).
+    numpy gather+scatter with uniformly random indices — independent
+    accesses (memory-level parallelism allowed, unlike a pointer chase),
+    every one a DRAM row miss + TLB walk. Returns M accesses/s."""
+    a = np.zeros(RAND_N, dtype=np.int64)
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, RAND_N, RAND_ACCESSES)
+    idx2 = rng.integers(0, RAND_N, RAND_ACCESSES)
+    t0 = time.time()
+    for _ in range(4):
+        acc = a[idx]          # gather
+        a[idx2] = acc         # scatter
+    dt = time.time() - t0
+    return 4 * 2 * RAND_ACCESSES / dt / 1e6
+
+
 def probe(procs: int) -> dict:
     with Pool(procs, initializer=_pin, initargs=(procs,)) as p:
         t0 = time.time()
@@ -68,10 +90,13 @@ def probe(procs: int) -> dict:
         hashes_per_sec = HASH_TOTAL / (time.time() - t0)
     with Pool(procs, initializer=_pin, initargs=(procs,)) as p:
         per_worker = p.map(_triad, range(procs))
+    with Pool(procs, initializer=_pin, initargs=(procs,)) as p:
+        per_worker_r = p.map(_scatter, range(procs))
     return {
         "procs": procs,
         "hash_per_sec": round(hashes_per_sec, 0),
         "triad_gbps_aggregate": round(sum(per_worker), 2),
+        "rand_maccess_aggregate": round(sum(per_worker_r), 1),
     }
 
 
@@ -93,6 +118,7 @@ def main():
             str(n): {
                 "hash_per_sec": best(i, "hash_per_sec"),
                 "triad_gbps": best(i, "triad_gbps_aggregate"),
+                "rand_maccess": best(i, "rand_maccess_aggregate"),
             }
             for i, n in enumerate((1, 8, 32))
         },
@@ -105,9 +131,14 @@ def main():
         summary["best_of"]["8"]["triad_gbps"],
         summary["best_of"]["32"]["triad_gbps"],
     )
+    r8, r32 = (
+        summary["best_of"]["8"].get("rand_maccess", 0),
+        summary["best_of"]["32"].get("rand_maccess", 0),
+    )
     summary["scaling_8_to_32"] = {
         "compute": round(h32 / h8, 2),
         "dram_bandwidth": round(b32 / b8, 2),
+        "random_access": round(r32 / r8, 2) if r8 else None,
     }
     with open(os.path.join(HERE, "bw_probe.json"), "w") as f:
         json.dump(summary, f, indent=2)
