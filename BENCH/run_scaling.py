@@ -356,12 +356,62 @@ the weather, not the engine). Recorded in `BENCH/sf1.json`
 | reshuffle + silver write (s) | {bp.get('reshuffle_write', '-')} | {sp['reshuffle_write']} | {_r(bp.get('reshuffle_write'), sp['reshuffle_write'])} |
 | rollup cascade + write (s) | {bp.get('rollup_cascade_write', '-')} | {sp['rollup_cascade_write']} | {_r(bp.get('rollup_cascade_write'), sp['rollup_cascade_write'])} |
 | gap-fill (s) | {bp.get('gapfill', '-')} | {sp['gapfill']} | {_r(bp.get('gapfill'), sp['gapfill'])} |
-
+{_sf1_bytes_table(s, base)}
 Per-turn throughput stays flat at 10x — the plans do not depend on the
 input fitting in RAM: the single-shuffle reshuffle spills and streams,
 the rollup cascade aggregates map-side and scales sublinearly, gap-fill
 is bounded by the timeline size. This is the strongest form of the
 "no query >10x its small-scale time" headroom check.
+"""
+
+
+def _sf1_bytes_table(s: dict, base: dict) -> str:
+    """Byte-level attribution for the sf1 phase ratios: what each phase
+    actually moved (REST stage metrics) against the measured single-disk
+    ceiling (dd O_DIRECT). The superlinear reshuffle ratio is explained
+    when its moved-bytes over the disk ceiling accounts for the extra
+    seconds — at 1x the shuffle rides the page cache, at 10x every byte
+    crosses /dev/vda, a resource that on a real cluster scales with
+    executor count (local SSDs) while this sandbox shares ONE virtio
+    disk across all 32 threads."""
+    pb, rb = s.get("phase_bytes"), base.get("phase_bytes")
+    if not pb:
+        return ""
+    probe = s.get("disk_probe", {})
+
+    def row(phase):
+        a, b = rb.get(phase, {}), pb.get(phase, {})
+
+        def tot(d):
+            return sum(
+                d.get(k, 0)
+                for k in ("shuffle_write_mb", "shuffle_read_mb",
+                          "spill_disk_mb", "output_mb")
+            )
+
+        return (
+            f"| {phase} | {tot(a):,} | {a.get('spill_disk_mb', 0):,} "
+            f"| {tot(b):,} | {b.get('spill_disk_mb', 0):,} |"
+        )
+
+    rows = "\n".join(row(p) for p in pb)
+    probe_line = (
+        f"Disk ceiling (dd O_DIRECT on the same filesystem, measured "
+        f"immediately before the job): write "
+        f"{probe.get('write_mb_s', '?')} MB/s, read "
+        f"{probe.get('read_mb_s', '?')} MB/s."
+        if probe
+        else ""
+    )
+    return f"""
+Byte attribution per phase (REST stage metrics; MB moved =
+shuffle write + shuffle read + disk spill + output):
+
+| phase | 1x MB moved | 1x spill | 10x MB moved | 10x spill |
+|---|---|---|---|---|
+{rows}
+
+{probe_line}
 """
 
 
