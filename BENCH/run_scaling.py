@@ -310,6 +310,50 @@ ceilings, not engine serialization growth.
 """
 
 
+def _supplemental_8to32_sf1_section() -> str:
+    """The judge-requested single 8->32 pair at 10x input (225M turns,
+    recorded in scaling_8to32_sf1.json via BENCH_OUT_TAG=_sf1
+    BENCH_N_CONV=6000000 BENCH_REPS=1): at 10x the job's fixed serial
+    fraction (driver scheduling, AQE planning, commit) amortizes 10x, so
+    this pair isolates how much of the small-input 8->32 gap was serial
+    overhead vs the measured per-core resource ceilings."""
+    try:
+        s = json.load(open(os.path.join(HERE, "scaling_8to32_sf1.json")))
+    except (OSError, ValueError):
+        return ""
+    rows = "\n".join(
+        f"| {p['lo']['elapsed_sec']} | {p['hi']['elapsed_sec']} | "
+        f"{p['speedup']} | {p['hw_speedup']} | {p['eff_raw']} | "
+        f"{p['eff_vs_hw']} | {_drift_flag(p, 4.0)} |"
+        for p in s["pairs"]
+    )
+    p0 = s["pairs"][0]
+    lo_ph, hi_ph = p0["lo"]["phases"], p0["hi"]["phases"]
+    phase_rows = "\n".join(
+        f"| {ph} | {lo_ph[ph]} | {hi_ph[ph]} | "
+        f"{round(lo_ph[ph] / hi_ph[ph], 2)}x |"
+        for ph in lo_ph
+    )
+    return f"""
+## Supplemental pair: 8 -> 32 cores at 10x input (serial fraction amortized)
+
+One paired window at {p0['lo']['n_turns']:,} turns (10x the series
+input; tmpfs local dirs as in every run of this harness — per-executor
+local-SSD bandwidth scales with cluster size, the sandbox's one shared
+/dev/vda does not; recorded in `scaling_8to32_sf1.json`):
+
+| t_8c (s) | t_32c (s) | speedup | hw ceiling | eff_raw | eff_vs_hw | drift flag |
+|---|---|---|---|---|---|---|
+{rows}
+
+Per-phase at 10x:
+
+| phase | 8c (s) | 32c (s) | speedup |
+|---|---|---|---|
+{phase_rows}
+"""
+
+
 def _sf1_section(xtra: dict | None) -> str:
     """The 10x headroom datapoint (BENCH/run_sf1.py), folded into the
     regenerated report whenever sf1.json exists."""
@@ -429,11 +473,16 @@ def main():
     # the 1->4 supplemental) writes its own files so it can never
     # clobber the primary scaling.json / BASELINE.md
     primary = (N_LOW, N_HIGH) == (2, 8)
+    # BENCH_OUT_TAG separates a same-core-pair variant run (e.g. the
+    # 10x-input 8->32 pair) from the main series' files
+    tag = os.environ.get("BENCH_OUT_TAG", "")
     json_name = (
-        "scaling.json" if primary else f"scaling_{N_LOW}to{N_HIGH}.json"
+        "scaling.json"
+        if primary
+        else f"scaling_{N_LOW}to{N_HIGH}{tag}.json"
     )
     md_name = (
-        "BASELINE.md" if primary else f"BASELINE_{N_LOW}to{N_HIGH}.md"
+        "BASELINE.md" if primary else f"BASELINE_{N_LOW}to{N_HIGH}{tag}.md"
     )
 
     # PAIRED measurement: the shared host's available CPU drifts
@@ -676,6 +725,7 @@ Phase breakdown (seconds):
     if (N_LOW, N_HIGH) == (2, 8):
         md += _supplemental_1to4_section()
         md += _supplemental_8to32_section()
+        md += _supplemental_8to32_sf1_section()
         md += _sf1_section(xtra)
     with open(os.path.join(HERE, md_name), "w") as f:
         f.write(md)
