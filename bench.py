@@ -114,11 +114,11 @@ DRIVER_QUERY_NAMES = [
     "ann_topk",
     "quality_per_source",
 ]
-# The remaining 34 oracled entries (remap family, IVF/near-dup, scalar
+# The remaining 41 oracled entries (remap family, ANN variants, scalar
 # fns, ...) are CORRECTNESS-graded, not throughput paths: most are
 # dominated by plan compilation on sub-second data, so adding them here
 # would measure Catalyst overhead, not the engine. The driver's
-# correctness gate runs all 46.
+# correctness gate runs all 53.
 
 
 def main():
