@@ -624,6 +624,36 @@ def main():
     )
     best3 = sorted(pairs, key=lambda p: -p["speedup"])[:3]
     best3_raw = ", ".join(str(p["eff_raw"]) for p in best3)
+    # The correlation claim below must be computed from the data, not
+    # asserted: look at the windows where the box actually granted most
+    # of the core ratio (probe hw_speedup >= 75% of ratio) and report
+    # what raw efficiency the engine achieved there.
+    granted = [p for p in pairs if p["hw_speedup"] >= 0.75 * ratio]
+    if granted and all(p["eff_raw"] >= 0.8 for p in granted):
+        contention_claim = (
+            f"in the {len(granted)} windows where the probe shows the box"
+            f" granting >= 75% of the {ratio:.0f}x core ratio, the engine"
+            f" delivered raw efficiency >= 0.8 every time"
+            f" ({', '.join(str(p['eff_raw']) for p in granted)});"
+            f" the sub-0.8 windows track host contention, not an engine"
+            f" bottleneck."
+        )
+    elif granted:
+        contention_claim = (
+            f"in the {len(granted)} windows where the probe shows the box"
+            f" granting >= 75% of the {ratio:.0f}x core ratio, raw"
+            f" efficiency reached"
+            f" {', '.join(str(p['eff_raw']) for p in granted)} — raw"
+            f" efficiency tracks the granted hardware, and the normalized"
+            f" (vs-hw) column is the contention-corrected statistic."
+        )
+    else:
+        contention_claim = (
+            f"no window in this series saw the probe grant >= 75% of the"
+            f" {ratio:.0f}x core ratio, so the raw column is bounded by"
+            f" host contention throughout and the normalized (vs-hw)"
+            f" column is the meaningful statistic."
+        )
     md = f"""# BENCH/BASELINE.md — scaling evidence (north rule)
 
 Same job, same input, two parallelism levels, each a fresh JVM launched
@@ -701,11 +731,9 @@ Both statistics are reported in scaling.json (`pass_raw`,
 own sub-{ratio:.0f}x scaling between the same pinned core sets (the
 probe's median says what the box could do in those same minutes), which
 is why the normalized number is the one that predicts multi-executor
-behavior on real silicon. Consistent with that: in the three
-least-contended windows (highest engine speedup) raw efficiency reached
-{best3_raw} — whenever the box actually grants ~{ratio:.0f}x hardware,
-the engine delivers >= 0.8 raw; the sub-0.8 windows track host
-contention, not an engine bottleneck.
+behavior on real silicon. Consistent with that:
+{contention_claim}
+(Three least-contended windows by engine speedup, raw eff: {best3_raw}.)
 
 ## Best-of throughput per level
 
