@@ -133,12 +133,30 @@ def run_at(cpus: int, env_extra: dict, pyfiles: str) -> dict:
         env["SPARK_DRIVER_MEM"] = f"{heap}g"
         env["SPARK_LOCAL_DIRS"] = shm_dir
         cmd = pin + [sys.executable, os.path.join(HERE, "scaling_job.py")]
-    try:
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, env=env, timeout=3600
+    # One retry on failure: the only observed failure mode is a lost /
+    # corrupt BlockManager block during the UNMEASURED bronze
+    # localCheckpoint materialization (stage 0, before the warmup and the
+    # timed pipeline), so rerunning the level is measurement-neutral.
+    # Full stderr of every failed attempt is kept for diagnosis.
+    for attempt in (1, 2):
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, timeout=3600
+            )
+        finally:
+            shutil.rmtree(shm_dir, ignore_errors=True)
+        if out.returncode == 0:
+            break
+        fail_log = os.path.join(
+            HERE, f"_fail_{cpus}c_{attempt}.stderr.log"
         )
-    finally:
-        shutil.rmtree(shm_dir, ignore_errors=True)
+        with open(fail_log, "w") as f:
+            f.write(out.stderr)
+        print(
+            f"run_at({cpus}) attempt {attempt} failed; stderr -> {fail_log}",
+            file=sys.stderr,
+        )
+        os.makedirs(shm_dir, exist_ok=True)
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-4000:])
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
