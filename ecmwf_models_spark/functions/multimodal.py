@@ -3,15 +3,19 @@ with typed metadata, decoded and featurized inside Arrow-batched UDFs.
 
 Image decode is REAL for PNG payloads — a pure-stdlib codec
 (functions/png.py: zlib inflate + all five PNG scanline filters;
-grayscale/RGB/RGBA at 8 and 16 bits plus 8-bit palette) — and gen_media
-emits genuine PNG bytes alternating truecolor and palette encodings,
-so the decode->resize->pool pipeline executes end-to-end and is oracled
-against the closed-form pixel values (entry `image_decode_features`).
-Formats that require native codecs (JPEG via libjpeg, audio/video
-containers) raise `DecoderUnavailable`; opaque non-image-format payloads
-fall back to a deterministic hash-expansion fake so schema/partitioning
-tests run on any payload. On a cluster you swap `decode_image`'s PNG
-branch for PIL/torchvision; nothing else changes.
+grayscale/RGB/RGBA at 8 and 16 bits plus 8-bit palette) — AND for
+baseline JPEG (functions/jpeg.py: Huffman entropy decode + vectorized
+IDCT, grayscale/YCbCr at any chroma subsampling, restart intervals).
+gen_media emits genuine PNG bytes alternating truecolor and palette
+encodings (or, fmt="jpeg", genuine baseline JPEGs), so the
+decode->resize->pool pipeline executes end-to-end and is oracled against
+closed-form pixel values (entries `image_decode_features`,
+`image_decode_features_jpeg`). Formats that require native codecs
+(progressive JPEG, audio/video containers) raise loudly; opaque
+non-image-format payloads fall back to a deterministic hash-expansion
+fake so schema/partitioning tests run on any payload. On a cluster you
+swap `decode_image`'s codec branches for PIL/torchvision; nothing else
+changes.
 
 Pattern: mapInPandas over batches of (id, kind, data:binary, meta:map) —
 Arrow moves the binary payloads zero-copy; per-batch vectorized numpy does
@@ -27,6 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from .jpeg import decode_jpeg, encode_jpeg
 from .png import decode_png, encode_png
 
 MEDIA_SCHEMA = T.StructType(
@@ -59,21 +64,26 @@ def _decode_image_stub(data: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(data: bytes, width: int, height: int) -> np.ndarray:
-    """bytes -> (h, w, 3) uint8. PNG payloads decode for REAL via the
-    pure-stdlib codec (grayscale broadcast to 3 channels, alpha dropped);
-    JPEG raises DecoderUnavailable (needs libjpeg — swap in PIL here on a
-    cluster); anything else is treated as an opaque test payload and
-    hash-expanded deterministically. The (width, height) metadata columns
-    are a CONTRACT — a decoded size mismatch fails loud, because
-    downstream batching groups by them."""
+    """bytes -> (h, w, 3) uint8. PNG and baseline JPEG payloads decode
+    for REAL via the pure-stdlib codecs (functions/png.py,
+    functions/jpeg.py; grayscale broadcast to 3 channels, alpha dropped);
+    progressive/arithmetic JPEG raises DecodeError loudly (swap in
+    libjpeg/PIL here on a cluster); anything else is treated as an opaque
+    test payload and hash-expanded deterministically. The (width, height)
+    metadata columns are a CONTRACT — a decoded size mismatch fails loud,
+    because downstream batching groups by them."""
     if data is None:
         raise DecoderUnavailable("no payload")
     b = bytes(data)
+    arr = None
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         arr = decode_png(b)
+    elif b[:3] == b"\xff\xd8\xff":
+        arr = decode_jpeg(b)
+    if arr is not None:
         if arr.shape[0] != height or arr.shape[1] != width:
             raise ValueError(
-                f"decoded PNG is {arr.shape[1]}x{arr.shape[0]} but "
+                f"decoded image is {arr.shape[1]}x{arr.shape[0]} but "
                 f"metadata says {width}x{height}"
             )
         if arr.shape[2] == 1:
@@ -81,8 +91,6 @@ def decode_image(data: bytes, width: int, height: int) -> np.ndarray:
         elif arr.shape[2] == 4:
             arr = arr[:, :, :3]
         return arr
-    if b[:3] == b"\xff\xd8\xff":
-        raise DecoderUnavailable("JPEG decode requires libjpeg/PIL")
     return _decode_image_stub(b, width, height)
 
 
@@ -127,10 +135,54 @@ def _png_payload_batch(
     return pd.Series(out)
 
 
-def gen_media(spark, n: int = 64, width: int = 16, height: int = 12) -> DataFrame:
-    """Deterministic synthetic media table. Image rows carry REAL PNG
-    payloads of the closed-form pixel pattern (decoded for real by
-    image_features); audio/video payloads stay opaque hash bytes."""
+# JPEG payloads use a BLOCK-constant gray-valued pattern: a constant 8x8
+# block carries only its DC coefficient, which unit quantization
+# preserves exactly, and R=G=B pixels give Cb=Cr=128 exactly — so the
+# lossy-in-general format decodes BIT-EXACTLY here and sits under the
+# same kind of value-exact SQL oracle as the PNG path
+# (entry image_decode_features_jpeg)
+def _jpeg_block_value(mid, by, bx):
+    return (mid * 31 + by * 7 + bx * 13) % 256
+
+
+def _jpeg_payload_batch(
+    mid: pd.Series, width: pd.Series, height: pd.Series
+) -> pd.Series:
+    out = []
+    for i, w, h in zip(mid, width, height):
+        i, w, h = int(i), int(w), int(h)
+        y, x = np.ogrid[0:h, 0:w]
+        img = _jpeg_block_value(i, y // 8, x // 8).astype(np.uint8)
+        rgb = np.repeat(img[:, :, None], 3, axis=2)
+        # cycle the stream shape with the id so chroma subsampling
+        # (4:2:0 / 4:4:4 / 4:2:2), restart markers and 16-bit DQT are
+        # all exercised in the wild under the one value oracle
+        sub = [(2, 2), (1, 1), (2, 1)][(i // 3) % 3]
+        out.append(
+            encode_jpeg(
+                rgb,
+                subsample=sub,
+                restart_interval=(i // 3) % 2,
+                quant_precision=(i // 3) % 2,
+            )
+        )
+    return pd.Series(out)
+
+
+def gen_media(
+    spark,
+    n: int = 64,
+    width: int = 16,
+    height: int = 12,
+    fmt: str = "png",
+) -> DataFrame:
+    """Deterministic synthetic media table. Image rows carry REAL
+    payloads of a closed-form pixel pattern (decoded for real by
+    image_features): fmt="png" alternates truecolor/palette PNGs of the
+    per-pixel pattern; fmt="jpeg" emits baseline color JPEGs (mixed
+    4:2:0/4:4:4/4:2:2, restart intervals, 8/16-bit DQT) of the
+    block-constant gray-valued pattern. Audio/video payloads stay opaque
+    hash bytes."""
     base = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
@@ -144,7 +196,10 @@ def gen_media(spark, n: int = 64, width: int = 16, height: int = 12) -> DataFram
     )
     # pandas_udf parses its DDL return type against the active session,
     # so construct it here rather than at module import
-    png_payload = F.pandas_udf(_png_payload_batch, "binary")
+    png_payload = F.pandas_udf(
+        _jpeg_payload_batch if fmt == "jpeg" else _png_payload_batch,
+        "binary",
+    )
     return base.select(
         "media_id",
         "kind",

@@ -1915,6 +1915,63 @@ FROM feat f JOIN lum l ON f.media_id = l.media_id
 """
 
 
+def q_image_decode_features_jpeg(spark, sf_dir):
+    """End-to-end REAL baseline-JPEG decode, value-oracled: gen_media
+    (fmt="jpeg") ships genuine JFIF bytes — pure-stdlib codec
+    (functions/jpeg.py: Annex-K Huffman entropy decode, dequant,
+    vectorized IDCT, chroma upsample, YCbCr->RGB), cycling 4:2:0 / 4:4:4
+    / 4:2:2 subsampling, restart intervals and 8/16-bit DQT — of a
+    BLOCK-constant gray-valued pattern (mid*31 + (y//8)*7 + (x//8)*13)
+    % 256. A constant 8x8 block survives unit quantization bit-exactly
+    and R=G=B gives Cb=Cr=128 exactly, so the decode of this
+    lossy-in-general format is value-exact and the oracle recomputes
+    every feature closed-form — a wrong bit anywhere in the Huffman /
+    IDCT / upsample / color-convert chain is a value-hash mismatch."""
+    from ..functions.multimodal import gen_media, image_features
+
+    m = gen_media(spark, n=90, width=16, height=12, fmt="jpeg")
+    f = image_features(m, resize_to=(4, 4))
+    return f.select(
+        "media_id",
+        F.posexplode("feat").alias("pos", "feat_v"),
+        "mean_lum",
+    ).select(
+        "media_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round("feat_v", 6).alias("feat_v"),
+        F.round("mean_lum", 6).alias("mean_lum"),
+    )
+
+
+# block-constant pattern mirrored in SQL; resize grid at
+# (w=16,h=12)->(4,4) samples y=3i, x=4j, so the sampled block is
+# (floor(3i/8), floor(4j/8)); channel pool averages three identical
+# channels. Integer block values are exact in float64.
+ORACLE_IMAGE_DECODE_JPEG = """
+WITH imgs AS (
+  SELECT g AS media_id FROM generate_series(0, 89) t(g) WHERE g % 3 = 0
+), lum AS (
+  SELECT i.media_id,
+         round(avg(CAST((i.media_id*31 + (y.y // 8)*7 + (x.x // 8)*13)
+                        % 256 AS DOUBLE)), 6) AS mean_lum
+  FROM imgs i,
+       generate_series(0, 11) y(y),
+       generate_series(0, 15) x(x)
+  GROUP BY i.media_id
+), feat AS (
+  SELECT i.media_id,
+         CAST(p.i * 4 + p.j AS INTEGER) AS pos,
+         round(CAST((i.media_id*31 + ((p.i*3) // 8)*7 + ((p.j*4) // 8)*13)
+                    % 256 AS DOUBLE), 6) AS feat_v
+  FROM imgs i,
+       (SELECT a.a AS i, b.b AS j
+        FROM generate_series(0, 3) a(a), generate_series(0, 3) b(b)) p
+)
+SELECT f.media_id, f.pos, f.feat_v, l.mean_lum
+FROM feat f JOIN lum l ON f.media_id = l.media_id
+"""
+
+
 # --------------------------------------- 2-D conservative remap (con/con2)
 
 _SRC_GRID_2D = (-60.0, 15.0, 8, 0.0, 15.0, 8)   # 8x8 edges, row-major gpi
@@ -2387,6 +2444,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ann_topk_ivf": q_ann_topk_ivf,
     "image_decode_features": q_image_decode_features,
+    "image_decode_features_jpeg": q_image_decode_features_jpeg,
     "sessionize_gaps": q_sessionize_gaps,
     "remap_con_2d": q_remap_con_2d,
     "remap_con2_2d": q_remap_con2_2d,
@@ -2443,6 +2501,7 @@ ORACLES = {
     "embedding_neardup": _oracle_neardup(),
     "ann_topk_ivf": ORACLE_ANN_IVF,
     "image_decode_features": ORACLE_IMAGE_DECODE,
+    "image_decode_features_jpeg": ORACLE_IMAGE_DECODE_JPEG,
     "sessionize_gaps": ORACLE_SESSIONIZE,
     "remap_con_2d": _oracle_remap_con_2d(),
     "remap_con2_2d": _oracle_remap_con2_2d(),
