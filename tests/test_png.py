@@ -88,19 +88,26 @@ def test_decode_rejects_bad_headers():
     data16[ihdr + 8] = 16  # bit depth byte
     with pytest.raises(DecodeError):
         decode_png(bytes(data16))
+    # a LYING interlace byte (Adam7 on sequentially-written data) fails
+    # on the per-pass size accounting
     datai = bytearray(data)
     datai[ihdr + 12] = 1  # interlace byte
     with pytest.raises(DecodeError):
         decode_png(bytes(datai))
-    # sub-byte palette depths stay out of scope and fail loud
+    # an ILLEGAL palette depth (3 is not a PNG depth) fails loud
     pal_img = encode_png(
         np.zeros((4, 4), np.uint8),
         palette=np.zeros((2, 3), np.uint8),
     )
-    data4 = bytearray(pal_img)
-    data4[bytes(data4).index(b"IHDR") + 4 + 8] = 4
+    data3 = bytearray(pal_img)
+    data3[bytes(data3).index(b"IHDR") + 4 + 8] = 3
     with pytest.raises(DecodeError, match="palette bit depth"):
-        decode_png(bytes(data4))
+        decode_png(bytes(data3))
+    # sub-byte GRAYSCALE stays out of scope and fails loud
+    gray = bytearray(encode_png(_img(c=1)))
+    gray[bytes(gray).index(b"IHDR") + 4 + 8] = 4
+    with pytest.raises(DecodeError, match="unsupported bit depth"):
+        decode_png(bytes(gray))
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
@@ -149,8 +156,9 @@ def test_decode_image_dispatch():
     # metadata contract: size mismatch fails loud
     with pytest.raises(ValueError, match="metadata"):
         decode_image(encode_png(img, 0), 8, 8)
-    # JPEG magic -> declared unavailable, not a fake
-    with pytest.raises(DecoderUnavailable):
+    # JPEG magic routes to the REAL baseline decoder (functions/jpeg.py);
+    # a truncated stream fails loud there, never the hash-expansion fake
+    with pytest.raises(DecodeError):
         decode_image(b"\xff\xd8\xff\xe0JFIF", 4, 4)
     # grayscale broadcasts, alpha drops
     gray = _img(c=1)
@@ -167,3 +175,48 @@ def test_synth_pixels_roundtrip_through_png():
     for mid in range(5):
         px = _synth_pixels(mid, 16, 12)
         assert (decode_png(encode_png(px, mid % 5)) == px).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_subbyte_palette(depth, filter_type):
+    """1/2/4-bit palette indexes: MSB-first sample packing, byte-padded
+    rows, filter offset floored to one byte."""
+    rs = np.random.RandomState(depth * 10 + filter_type)
+    pal = rs.randint(0, 256, (1 << depth, 3), dtype=np.uint8)
+    idx = rs.randint(0, 1 << depth, (11, 13), dtype=np.uint8)
+    out = decode_png(
+        encode_png(idx, filter_type, palette=pal, bit_depth=depth)
+    )
+    assert np.array_equal(out, pal[idx])
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_adam7(channels, filter_type):
+    """Adam7: seven independently filtered passes merged on their pixel
+    lattices — every color type and filter."""
+    img = _img(c=channels, seed=channels + filter_type)
+    out = decode_png(encode_png(img, filter_type, interlace=True))
+    assert np.array_equal(out, img)
+
+
+def test_adam7_16bit_palette_and_tiny():
+    rs = np.random.RandomState(42)
+    img16 = rs.randint(0, 65536, (9, 11, 3), dtype=np.uint16)
+    assert np.array_equal(
+        decode_png(encode_png(img16, 2, interlace=True)), img16
+    )
+    for depth in (1, 2, 4, 8):
+        pal = rs.randint(0, 256, (1 << depth, 3), dtype=np.uint8)
+        idx = rs.randint(0, 1 << depth, (13, 17), dtype=np.uint8)
+        out = decode_png(
+            encode_png(idx, 4, palette=pal, bit_depth=depth, interlace=True)
+        )
+        assert np.array_equal(out, pal[idx])
+    # images small enough that several Adam7 passes are EMPTY
+    for h, w in [(1, 1), (2, 3), (5, 1), (1, 9), (8, 8)]:
+        img = rs.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_png(encode_png(img, 1, interlace=True)), img
+        ), (h, w)
