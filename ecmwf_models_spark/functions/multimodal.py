@@ -125,13 +125,22 @@ def _png_payload_batch(
         # cycle the scanline filter with the id so every PNG filter
         # type (None/Sub/Up/Average/Paeth) is exercised in the wild,
         # for BOTH encodings (image ids are multiples of 3, so i % 5
-        # walks all five filters within each parity class)
+        # walks all five filters within each parity class); a third of
+        # the images are additionally Adam7-interlaced (coprime strides,
+        # so every palette x interlace combination occurs)
+        adam7 = (i // 3) % 3 == 2
         if (i // 3) % 2 == 1:  # every other image row: palette-encoded
             y, x = np.ogrid[0:h, 0:w]
             idx = ((i * 31 + y * 7 + x * 13) % 256).astype(np.uint8)
-            out.append(encode_png(idx, i % 5, palette=_SYNTH_PALETTE))
+            out.append(
+                encode_png(
+                    idx, i % 5, palette=_SYNTH_PALETTE, interlace=adam7
+                )
+            )
         else:
-            out.append(encode_png(_synth_pixels(i, w, h), i % 5))
+            out.append(
+                encode_png(_synth_pixels(i, w, h), i % 5, interlace=adam7)
+            )
     return pd.Series(out)
 
 
