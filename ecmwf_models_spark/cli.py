@@ -217,13 +217,14 @@ def cmd_remap(args):
 
 def cmd_ann_index(args):
     """Materialize an ANN index: embeddings written partitioned by the
-    probe key (lsh_bucket or ivf_cell) so queries become directory-level
-    partition pruning. IVF persists its quantizer under _quantizer."""
+    probe key (lsh_bucket, ivf_cell, or per-table cp_bucket trees) so
+    queries become directory-level partition pruning. IVF persists its
+    quantizer under _quantizer."""
     from .functions import similarity as S
 
     spark = _spark(args)
     emb = spark.read.parquet(args.embeddings)
-    if args.method == "lsh":
+    if args.method in ("lsh", "cp"):
         dim = args.dim
         if not dim:
             first = emb.select(args.vec_col).first()
@@ -233,6 +234,16 @@ def cmd_ann_index(args):
                     "provide data"
                 )
             dim = len(first[0])
+        if args.method == "cp":
+            S.write_cp_index(
+                emb, args.out, dim, n_tables=args.n_tables,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            print(
+                f"ann-index: {args.out} (cp, dim={dim}, "
+                f"tables={args.n_tables})"
+            )
+            return
         S.write_ann_index(
             emb, args.out, dim, n_planes=args.n_planes,
             vec_col=args.vec_col,
@@ -270,6 +281,17 @@ def cmd_ann_query(args):
             k=args.k,
             n_planes=args.n_planes,
             multiprobe_hamming=args.multiprobe,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+    elif args.method == "cp":
+        out = S.ann_topk_cp_indexed(
+            spark,
+            args.index,
+            qv,
+            k=args.k,
+            n_tables=args.n_tables,
+            m_probe=args.m_probe,
             id_col=args.id_col,
             vec_col=args.vec_col,
         )
@@ -385,10 +407,11 @@ def main(argv=None):
     s = sub.add_parser("ann-index")
     s.add_argument("--embeddings", required=True)
     s.add_argument("--out", required=True)
-    s.add_argument("--method", choices=("lsh", "ivf"), default="lsh")
+    s.add_argument("--method", choices=("lsh", "ivf", "cp"), default="lsh")
     s.add_argument("--dim", type=int, default=None,
-                   help="lsh: default probed from the first row")
+                   help="lsh/cp: default probed from the first row")
     s.add_argument("--n-planes", type=int, default=8)
+    s.add_argument("--n-tables", type=int, default=12)
     s.add_argument("--n-centroids", type=int, default=16)
     s.add_argument("--lloyd-iters", type=int, default=0)
     s.add_argument("--id-col", default="vec_id")
@@ -398,11 +421,13 @@ def main(argv=None):
     s = sub.add_parser("ann-query")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True, help="comma-separated floats")
-    s.add_argument("--method", choices=("lsh", "ivf"), default="lsh")
+    s.add_argument("--method", choices=("lsh", "ivf", "cp"), default="lsh")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--n-planes", type=int, default=8)
+    s.add_argument("--n-tables", type=int, default=12)
     s.add_argument("--multiprobe", type=int, default=1)
     s.add_argument("--n-probe", type=int, default=4)
+    s.add_argument("--m-probe", type=int, default=4)
     s.add_argument("--id-col", default="vec_id")
     s.add_argument("--vec-col", default="embedding")
     s.set_defaults(fn=cmd_ann_query)

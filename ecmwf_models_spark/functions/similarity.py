@@ -637,6 +637,83 @@ def ann_topk_ivf_indexed(
     )
 
 
+def write_cp_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the cross-polytope multi-table index — the
+    index-once/query-many analogue of write_ann_index for the
+    best-recall hash family (BENCH/ann_recall: 0.89 recall@10 at 29%
+    scan). A row belongs to ONE bucket per table, so the layout is L
+    directory trees: posexplode the one-pass bucket array and write
+    partitioned by (cp_table, cp_bucket) — at query time each table's
+    probe list prunes directories under its own tree. Only
+    (id, vector) travel into the index (it is an index, not the table):
+    the written size is L x the vector column, the standard multi-table
+    LSH storage trade, and any other column comes from a broadcast-free
+    id join back to the base table. Repartitioning by the partition
+    keys keeps one writer per directory — no small-file explosion at
+    cluster scale."""
+    b = with_cp_buckets(embeddings, dim, n_tables, vec_col)
+    (
+        b.select(
+            id_col,
+            vec_col,
+            F.posexplode("cp_buckets").alias("cp_table", "cp_bucket"),
+        )
+        .repartition("cp_table", "cp_bucket")
+        .write.mode("overwrite")
+        .partitionBy("cp_table", "cp_bucket")
+        .parquet(path)
+    )
+
+
+def ann_topk_cp_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_tables: int = 12,
+    m_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the materialized cross-polytope index: identical semantics
+    to ann_topk_cp (same query-directed probe sets, same exact-cosine
+    rerank) but the OR-of-(table, bucket) predicate prunes PARTITIONS of
+    the written trees (asserted in tests/test_similarity.py) instead of
+    filtering a full scan. A vector probed by several tables appears
+    once per tree, so candidates dedup by id before the rerank — a
+    shuffle over the candidate set only, not the corpus. Dimension
+    mismatches fail loud, same contract as ann_topk_lsh_indexed."""
+    idx = spark.read.parquet(index_path)
+    first = idx.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is not None and first["d"] != len(query_vec):
+        raise ValueError(
+            f"query vector has dim {len(query_vec)} but index "
+            f"{index_path} stores dim {first['d']} vectors"
+        )
+    cond = None
+    for t, probes in enumerate(cp_probes(query_vec, n_tables, m_probe)):
+        c = (F.col("cp_table") == t) & F.col("cp_bucket").isin(probes)
+        cond = c if cond is None else (cond | c)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        idx.where(cond)
+        .dropDuplicates([id_col])
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -145,3 +145,33 @@ def test_cli_ann_index_and_query_ivf(
     # the query vector itself is always its own nearest neighbour
     assert any(l.split()[1] == "0" for l in lines[1:]), out
     assert "1.0" in out
+
+
+def test_cli_ann_index_and_query_cp(
+    spark, tmp_path, argv_runner, sf_dir, capsys
+):
+    """--method cp round-trip: the materialized cross-polytope index
+    (one directory tree per table, partitioned by (cp_table, cp_bucket))
+    built and queried entirely through the CLI."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = str(tmp_path / "emb")
+    emb.write.parquet(src)
+    idx = str(tmp_path / "cpidx")
+    argv_runner(
+        "ann-index", "--embeddings", src, "--out", idx,
+        "--method", "cp", "--n-tables", "4",
+    )
+    files = spark.read.parquet(idx)
+    assert {"cp_table", "cp_bucket"} <= set(files.columns)
+
+    qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    argv_runner(
+        "ann-query", "--index", idx, "--method", "cp",
+        "--query=" + ",".join(str(float(x)) for x in qv),
+        "--k", "5", "--n-tables", "4", "--m-probe", "3",
+    )
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    # the query vector itself is always its own nearest neighbour
+    assert any(l.split()[1] == "0" for l in lines[1:]), out
+    assert "1.0" in out

@@ -224,3 +224,44 @@ def test_near_dup_hot_bucket_cap(spark):
     skipped = sizes[sizes["n_vectors"] > 10]
     assert len(skipped) == 1
     assert int(skipped["n_vectors"].iloc[0]) == 60
+
+
+def test_cp_index_prunes_partitions_and_matches(spark, tmp_path, sf_dir):
+    """The materialized cross-polytope index: (a) probe reads show
+    PartitionFilters on (cp_table, cp_bucket) — each table's probe list
+    prunes directories under its own tree, (b) the indexed query returns
+    exactly the in-plan ann_topk_cp result (same query-directed probes,
+    candidates deduped across trees), (c) wrong-dimension queries fail
+    loud."""
+    import contextlib
+    import io
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    path = str(tmp_path / "cp_index")
+    S.write_cp_index(emb, path, dim=len(qvec), n_tables=4)
+
+    indexed = S.ann_topk_cp_indexed(
+        spark, path, qvec, k=10, n_tables=4, m_probe=3
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cp_table" in pf and "cp_bucket" in pf, plan
+
+    inplan = S.ann_topk_cp(
+        emb, qvec, k=10, n_tables=4, m_probe=3
+    ).collect()
+    assert [tuple(r) for r in indexed.collect()] == [
+        tuple(r) for r in inplan
+    ]
+
+    with pytest.raises(ValueError, match="dim"):
+        S.ann_topk_cp_indexed(spark, path, qvec + [0.0], k=10, n_tables=4)
