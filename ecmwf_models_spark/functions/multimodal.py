@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .jpeg import decode_jpeg, encode_jpeg
 from .png import decode_png, encode_png
+from .wav import decode_wav, encode_wav
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -178,6 +179,35 @@ def _jpeg_payload_batch(
     return pd.Series(out)
 
 
+# audio payloads: a closed-form integer waveform s[i] =
+# ((mid*37 + 11*i) % 201) - 100, alternating PCM16 and IEEE-float32
+# storage (both lossless for these values — wav.py scale contract), so
+# the decode->window->feature pipeline is value-oracled end-to-end
+# (entry audio_decode_features) just like the image paths
+def _wav_sample_expr(mid, i):
+    return (mid * 37 + 11 * i) % 201 - 100
+
+
+def _wav_n_samples(mid: int) -> int:
+    # audio ids are all ≡ 1 (mod 3), so vary by mid // 3: 1200/1600/2000
+    # samples -> 3/4/5 full 25 ms windows at 16 kHz
+    return 1200 + ((mid // 3) % 3) * 400
+
+
+def _wav_payload_batch(
+    mid: pd.Series, rate: pd.Series
+) -> pd.Series:
+    out = []
+    for i, r in zip(mid, rate):
+        i, r = int(i), int(r)
+        s = _wav_sample_expr(i, np.arange(_wav_n_samples(i))).astype(
+            np.float64
+        )
+        fmt = "float32" if (i // 3) % 2 else "pcm16"
+        out.append(encode_wav(s, sample_rate=r, fmt=fmt))
+    return pd.Series(out)
+
+
 def gen_media(
     spark,
     n: int = 64,
@@ -209,12 +239,17 @@ def gen_media(
         _jpeg_payload_batch if fmt == "jpeg" else _png_payload_batch,
         "binary",
     )
+    wav_payload = F.pandas_udf(_wav_payload_batch, "binary")
     return base.select(
         "media_id",
         "kind",
         F.when(
             F.col("kind") == "image",
             png_payload("media_id", "width", "height"),
+        )
+        .when(
+            F.col("kind") == "audio",
+            wav_payload("media_id", "sample_rate"),
         )
         .otherwise(
             F.sha2(F.col("media_id").cast("string"), 256).cast("binary")
@@ -305,9 +340,65 @@ def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
+def audio_features(media: DataFrame, win_ms: int = 25) -> DataFrame:
+    """Decode -> window -> per-window features for audio rows, one row
+    per full window: mean amplitude, energy (mean square) and
+    zero-crossing count. The DECODE is real (functions/wav.py: RIFF
+    parse, PCM8/PCM16/float32 sample formats, all returned in the signed
+    16-bit value scale) and all feature math is one reshaped-ndarray
+    operation per clip — no per-sample Python. Channels are averaged
+    before windowing (mono clips pass through exactly). Integer-valued
+    samples make every feature an exact integer sum divided once, so
+    float64 results reproduce bit-identically in any engine — what lets
+    the SQL oracle (audio_decode_features) hash-match the decoded
+    values."""
+    out_schema = (
+        "media_id long, win_idx int, mean_amp double, energy double, "
+        "zero_cross int"
+    )
+    cols = ["media_id", "win_idx", "mean_amp", "energy", "zero_cross"]
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "audio"]
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            frames = []
+            for mid, data, rate in zip(
+                pdf["media_id"], pdf["data"], pdf["sample_rate"]
+            ):
+                s, dec_rate = decode_wav(bytes(data))
+                if int(rate) != dec_rate:
+                    raise ValueError(
+                        f"audio_features: media_id {mid} metadata says "
+                        f"{rate} Hz but payload is {dec_rate} Hz"
+                    )
+                w = dec_rate * win_ms // 1000
+                mono = s.mean(axis=1)
+                nwin = len(mono) // w
+                win = mono[: nwin * w].reshape(nwin, w)
+                zc = ((win[:, :-1] * win[:, 1:]) < 0).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": int(mid),
+                            "win_idx": np.arange(nwin, dtype=np.int32),
+                            "mean_amp": win.mean(axis=1),
+                            "energy": (win * win).mean(axis=1),
+                            "zero_cross": zc.astype(np.int32),
+                        },
+                        columns=cols,
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return media.mapInPandas(_proc, schema=out_schema)
+
+
 def audio_window_plumbing(media: DataFrame, win_ms: int = 25) -> DataFrame:
     """Audio windowing metadata (window count per clip from sample_rate) —
-    the decode itself is stubbed."""
+    pure built-in arithmetic; audio_features carries the real decode."""
     return media.where(F.col("kind") == "audio").select(
         "media_id",
         "sample_rate",

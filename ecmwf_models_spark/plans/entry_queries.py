@@ -1972,6 +1972,66 @@ FROM feat f JOIN lum l ON f.media_id = l.media_id
 """
 
 
+# ------------------------------------ real WAV decode features (oracle)
+
+def q_audio_decode_features(spark, sf_dir):
+    """End-to-end REAL audio decode, value-oracled: gen_media ships
+    genuine RIFF/WAVE bytes (pure-stdlib codec functions/wav.py,
+    alternating PCM16 and IEEE-float32 storage of the same integer
+    waveform — both lossless under the signed-16-bit scale contract),
+    audio_features parses the container, windows to 25 ms and computes
+    mean amplitude / energy / zero crossings as exact integer sums. The
+    oracle recomputes every window feature from the closed-form sample
+    value ((mid*37 + 11*i) % 201) - 100 — a wrong byte anywhere in the
+    RIFF parse or sample scaling is a value-hash mismatch."""
+    from ..functions.multimodal import audio_features, gen_media
+
+    m = gen_media(spark, n=90)
+    f = audio_features(m, win_ms=25)
+    return f.select(
+        "media_id",
+        "win_idx",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("energy", 6).alias("energy"),
+        F.col("zero_cross").cast("int").alias("zero_cross"),
+    )
+
+
+# sample formula mirrored in SQL; every clip is a whole number of
+# 400-sample windows (1200/1600/2000 by id), so window sums are exact
+# integer sums in float64 on both engines
+ORACLE_AUDIO_DECODE = """
+WITH auds AS (
+  SELECT g AS media_id FROM generate_series(0, 89) t(g) WHERE g % 3 = 1
+), params AS (
+  SELECT media_id, 1200 + ((media_id // 3) % 3) * 400 AS n FROM auds
+), samp AS (
+  SELECT p.media_id, i.i AS i,
+         CAST(((p.media_id*37 + 11*i.i) % 201) - 100 AS DOUBLE) AS s
+  FROM params p, generate_series(0, 1999) i(i)
+  WHERE i.i < p.n
+), w AS (
+  SELECT media_id, CAST(i // 400 AS INTEGER) AS win_idx, i, s FROM samp
+), feat AS (
+  SELECT media_id, win_idx,
+         round(avg(s), 6) AS mean_amp,
+         round(avg(s*s), 6) AS energy
+  FROM w GROUP BY media_id, win_idx
+), zc AS (
+  SELECT a.media_id, a.win_idx,
+         CAST(sum(CASE WHEN a.s * b.s < 0 THEN 1 ELSE 0 END)
+              AS INTEGER) AS zero_cross
+  FROM w a JOIN w b
+    ON a.media_id = b.media_id AND b.i = a.i + 1
+  WHERE (a.i % 400) < 399
+  GROUP BY a.media_id, a.win_idx
+)
+SELECT f.media_id, f.win_idx, f.mean_amp, f.energy, z.zero_cross
+FROM feat f JOIN zc z
+  ON f.media_id = z.media_id AND f.win_idx = z.win_idx
+"""
+
+
 # --------------------------------------- 2-D conservative remap (con/con2)
 
 _SRC_GRID_2D = (-60.0, 15.0, 8, 0.0, 15.0, 8)   # 8x8 edges, row-major gpi
@@ -2445,6 +2505,7 @@ QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "image_decode_features": q_image_decode_features,
     "image_decode_features_jpeg": q_image_decode_features_jpeg,
+    "audio_decode_features": q_audio_decode_features,
     "sessionize_gaps": q_sessionize_gaps,
     "remap_con_2d": q_remap_con_2d,
     "remap_con2_2d": q_remap_con2_2d,
@@ -2502,6 +2563,7 @@ ORACLES = {
     "ann_topk_ivf": ORACLE_ANN_IVF,
     "image_decode_features": ORACLE_IMAGE_DECODE,
     "image_decode_features_jpeg": ORACLE_IMAGE_DECODE_JPEG,
+    "audio_decode_features": ORACLE_AUDIO_DECODE,
     "sessionize_gaps": ORACLE_SESSIONIZE,
     "remap_con_2d": _oracle_remap_con_2d(),
     "remap_con2_2d": _oracle_remap_con2_2d(),
