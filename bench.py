@@ -118,7 +118,7 @@ DRIVER_QUERY_NAMES = [
 # fns, ...) are CORRECTNESS-graded, not throughput paths: most are
 # dominated by plan compilation on sub-second data, so adding them here
 # would measure Catalyst overhead, not the engine. The driver's
-# correctness gate runs all 55.
+# correctness gate runs all 56.
 
 
 def main():

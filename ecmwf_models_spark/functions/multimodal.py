@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from .gif import decode_gif, encode_gif
 from .jpeg import decode_jpeg, encode_jpeg
 from .png import decode_png, encode_png
 from .wav import decode_wav, encode_wav
@@ -208,6 +209,35 @@ def _wav_payload_batch(
     return pd.Series(out)
 
 
+# video payloads: real animated GIFs — frame f of clip mid is SOLID
+# palette index (mid*13 + f*7) % 16 over the closed-form palette
+# entry[j][c] = (j*17 + c*47 + 3) % 256, n_frames from the metadata
+# column — so per-frame channel means are exact palette values and the
+# decode->frame-sample->feature pipeline is value-oracled end-to-end
+# (entry video_decode_features)
+_GIF_PALETTE = np.stack(
+    [(np.arange(16) * 17 + c * 47 + 3) % 256 for c in range(3)], axis=1
+).astype(np.uint8)
+
+
+def _gif_frame_index(mid, f):
+    return (mid * 13 + f * 7) % 16
+
+
+def _gif_payload_batch(
+    mid: pd.Series, width: pd.Series, height: pd.Series, nf: pd.Series
+) -> pd.Series:
+    out = []
+    for i, w, h, n in zip(mid, width, height, nf):
+        i, w, h, n = int(i), int(w), int(h), int(n)
+        idx = _gif_frame_index(i, np.arange(n))
+        frames = np.broadcast_to(
+            idx[:, None, None], (n, h, w)
+        ).astype(np.uint8)
+        out.append(encode_gif(frames, _GIF_PALETTE, delay_cs=4))
+    return pd.Series(out)
+
+
 def gen_media(
     spark,
     n: int = 64,
@@ -240,6 +270,7 @@ def gen_media(
         "binary",
     )
     wav_payload = F.pandas_udf(_wav_payload_batch, "binary")
+    gif_payload = F.pandas_udf(_gif_payload_batch, "binary")
     return base.select(
         "media_id",
         "kind",
@@ -250,6 +281,10 @@ def gen_media(
         .when(
             F.col("kind") == "audio",
             wav_payload("media_id", "sample_rate"),
+        )
+        .when(
+            F.col("kind") == "video",
+            gif_payload("media_id", "width", "height", "n_frames"),
         )
         .otherwise(
             F.sha2(F.col("media_id").cast("string"), 256).cast("binary")
@@ -323,10 +358,60 @@ def image_features(media: DataFrame, resize_to: tuple[int, int] = (4, 4)) -> Dat
     return media.mapInPandas(_proc, schema=out_schema)
 
 
+def video_frame_features(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Decode -> sample -> per-frame features for video rows: one row per
+    SAMPLED frame (same stride as frame_sample) with the frame's mean
+    R/G/B. The DECODE is real (functions/gif.py: full LZW, compositing,
+    transparency); channel means are exact integer sums divided once,
+    bit-reproducible in any engine — what lets the SQL oracle
+    (video_decode_features) hash-match the decoded values. The n_frames
+    metadata column is a CONTRACT: a payload with a different frame
+    count fails loud, like image width/height."""
+    out_schema = (
+        "media_id long, frame_idx int, mean_r double, mean_g double, "
+        "mean_b double"
+    )
+    cols = ["media_id", "frame_idx", "mean_r", "mean_g", "mean_b"]
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            frames_out = []
+            for mid, data, nf in zip(
+                pdf["media_id"], pdf["data"], pdf["n_frames"]
+            ):
+                frames, _delays = decode_gif(bytes(data))
+                if len(frames) != int(nf):
+                    raise ValueError(
+                        f"video_frame_features: media_id {mid} metadata "
+                        f"says {nf} frames but payload has {len(frames)}"
+                    )
+                sel = np.arange(0, len(frames), every_k)
+                means = frames[sel].astype(np.float64).mean(axis=(1, 2))
+                frames_out.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": sel.astype(np.int32),
+                            "mean_r": means[:, 0],
+                            "mean_g": means[:, 1],
+                            "mean_b": means[:, 2],
+                        },
+                        columns=cols,
+                    )
+                )
+            yield pd.concat(frames_out, ignore_index=True)
+
+    return media.mapInPandas(_proc, schema=out_schema)
+
+
 def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
     """Video frame sampling plumbing: one row per sampled frame index.
-    Pure built-ins (sequence + explode); the frame DECODE would plug into
-    image_features."""
+    Pure built-ins (sequence + explode); video_frame_features carries
+    the real per-frame decode."""
     return (
         media.where(F.col("kind") == "video")
         .select(

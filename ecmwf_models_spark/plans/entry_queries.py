@@ -2032,6 +2032,50 @@ FROM feat f JOIN zc z
 """
 
 
+# ------------------------------------ real GIF decode features (oracle)
+
+def q_video_decode_features(spark, sf_dir):
+    """End-to-end REAL video frame decode, value-oracled: gen_media
+    ships genuine animated-GIF bytes (pure-stdlib codec
+    functions/gif.py: full LZW decompression, frame compositing), each
+    frame a solid closed-form palette color, video_frame_features
+    decodes, samples every 2nd frame and emits per-frame channel means.
+    The oracle recomputes every sampled frame's color from the palette
+    formula — a wrong bit anywhere in the LZW walk or compositing is a
+    value-hash mismatch."""
+    from ..functions.multimodal import gen_media, video_frame_features
+
+    m = gen_media(spark, n=90)
+    f = video_frame_features(m, every_k=2)
+    return f.select(
+        "media_id",
+        "frame_idx",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+# frame f of clip mid is solid palette index (mid*13 + f*7) % 16 with
+# palette entry[j][c] = (j*17 + c*47 + 3) % 256; solid frames make each
+# channel mean the exact palette value
+ORACLE_VIDEO_DECODE = """
+WITH vids AS (
+  SELECT g AS media_id, (g % 8) + 1 AS n
+  FROM generate_series(0, 89) t(g) WHERE g % 3 = 2
+), fr AS (
+  SELECT v.media_id, CAST(u.f AS INTEGER) AS frame_idx,
+         ((v.media_id*13 + u.f*7) % 16) AS j
+  FROM vids v, unnest(range(0, v.n, 2)) AS u(f)
+)
+SELECT media_id, frame_idx,
+       round(CAST((j*17 + 3) % 256 AS DOUBLE), 6) AS mean_r,
+       round(CAST((j*17 + 50) % 256 AS DOUBLE), 6) AS mean_g,
+       round(CAST((j*17 + 97) % 256 AS DOUBLE), 6) AS mean_b
+FROM fr
+"""
+
+
 # --------------------------------------- 2-D conservative remap (con/con2)
 
 _SRC_GRID_2D = (-60.0, 15.0, 8, 0.0, 15.0, 8)   # 8x8 edges, row-major gpi
@@ -2506,6 +2550,7 @@ QUERIES = {
     "image_decode_features": q_image_decode_features,
     "image_decode_features_jpeg": q_image_decode_features_jpeg,
     "audio_decode_features": q_audio_decode_features,
+    "video_decode_features": q_video_decode_features,
     "sessionize_gaps": q_sessionize_gaps,
     "remap_con_2d": q_remap_con_2d,
     "remap_con2_2d": q_remap_con2_2d,
@@ -2564,6 +2609,7 @@ ORACLES = {
     "image_decode_features": ORACLE_IMAGE_DECODE,
     "image_decode_features_jpeg": ORACLE_IMAGE_DECODE_JPEG,
     "audio_decode_features": ORACLE_AUDIO_DECODE,
+    "video_decode_features": ORACLE_VIDEO_DECODE,
     "sessionize_gaps": ORACLE_SESSIONIZE,
     "remap_con_2d": _oracle_remap_con_2d(),
     "remap_con2_2d": _oracle_remap_con2_2d(),
