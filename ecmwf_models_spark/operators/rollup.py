@@ -82,7 +82,19 @@ def _nan_to_null(c):
     return F.when(F.isnan(col), F.lit(None)).otherwise(col)
 
 
-def _agg_state(value_cols, n_turns_expr, first_last=True):
+def _agg_state(value_cols, n_turns_expr, first_last=True, order_cols=("ts",)):
+    # first/last ordering. With the default single-column ("ts",) order,
+    # exact-ts ties inside one bucket leave the winner to Spark's
+    # min_by/max_by tie rule (LAST row encountered — i.e. encounter
+    # order, deterministic only for sorted single-partition groups).
+    # Passing order_cols=("ts", "turn_idx") makes the winner fully
+    # order-defined (the BASELINE input_hint's "stable (conv_id,
+    # turn_idx) ordering" contract) and is what rollup_stream's
+    # sequential path reproduces bit-for-bit.
+    if len(order_cols) == 1:
+        ordering = F.col(order_cols[0])
+    else:
+        ordering = F.struct(*[F.col(o) for o in order_cols])
     aggs = [n_turns_expr.alias("n_turns")]
     for c in value_cols:
         v = _nan_to_null(c)
@@ -104,10 +116,10 @@ def _agg_state(value_cols, n_turns_expr, first_last=True):
             # sum/cnt/min/max (BENCH/profile_cascade.py uses it to
             # isolate state-width effects at 32 threads).
             aggs += [
-                F.min_by(v, F.when(v.isNotNull(), F.col("ts"))).alias(
+                F.min_by(v, F.when(v.isNotNull(), ordering)).alias(
                     f"{c}_first"
                 ),
-                F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias(
+                F.max_by(v, F.when(v.isNotNull(), ordering)).alias(
                     f"{c}_last"
                 ),
             ]
@@ -120,11 +132,17 @@ def rollup_from_raw(
     value_cols: tuple[str, ...] = METRICS,
     ts_col: str = "ts",
     first_last: bool = True,
+    order_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Tier-0 rollup straight from turn-grain rows."""
     b = F.date_trunc(_TRUNC[tier], F.col(ts_col)).alias("bucket_ts")
     return silver.groupBy("conv_id", b).agg(
-        *_agg_state(value_cols, F.count(F.lit(1)), first_last)
+        *_agg_state(
+            value_cols,
+            F.count(F.lit(1)),
+            first_last,
+            order_cols or (ts_col,),
+        )
     )
 
 
