@@ -43,6 +43,7 @@ def pipeline(spark, bronze, out_dir, n_cells, phase_hook=None):
     from ecmwf_models_spark.operators.gapfill import gap_fill
     from ecmwf_models_spark.operators.reshuffle import reshuffle, write_silver
     from ecmwf_models_spark.operators.rollup import finalize, rollup_tiers
+    from ecmwf_models_spark.operators.rollup_stream import stream_rollup
 
     phases = {}
     t0 = time.time()
@@ -54,9 +55,17 @@ def pipeline(spark, bronze, out_dir, n_cells, phase_hook=None):
 
     t0 = time.time()
     silver = spark.read.parquet(silver_path)
-    # one-shuffle cascade: single narrow-row exchange by conv_id, all
-    # three tier aggregations pipelined in one stage (rollup.rollup_tiers)
-    monthly = rollup_tiers(silver)["monthly"]
+    if os.environ.get("BENCH_CASCADE", "stream") == "hash":
+        # one-shuffle hash cascade: single narrow-row exchange by conv_id,
+        # all three tier aggregations pipelined in one stage
+        monthly = rollup_tiers(silver)["monthly"]
+    else:
+        # sequential sorted-run path (rollup_stream): rides the O1 sort
+        # of the silver files — zero wide shuffle, bit-identical states
+        # (tests/test_rollup_stream.py); the hash cascade's near-row-
+        # cardinality hourly HashAggregate is random-access-bound and
+        # flat 8->32 on this box (BENCH/bw_probe.json rand leg)
+        monthly = stream_rollup(silver, "monthly")
     finalize(monthly).write.mode("overwrite").parquet(f"{out_dir}/monthly")
     phases["rollup_cascade_write"] = round(time.time() - t0, 3)
     if phase_hook:
