@@ -55,17 +55,23 @@ def pipeline(spark, bronze, out_dir, n_cells, phase_hook=None):
 
     t0 = time.time()
     silver = spark.read.parquet(silver_path)
-    if os.environ.get("BENCH_CASCADE", "stream") == "hash":
+    if os.environ.get("BENCH_CASCADE", "hash") == "stream":
+        # sequential sorted-run path (rollup_stream): rides the O1 sort
+        # of the silver files — zero wide shuffle, bit-identical states
+        # (tests/test_rollup_stream.py). NOT the default here: under
+        # taskset-pinned cores the Arrow->pandas PyObject churn is
+        # itself random-access memory traffic and costs MORE total CPU
+        # than the one-shuffle hash cascade (pinned A/B in
+        # scaling_8to32_streamcascade.json: 10-15s vs 9.7/4.8s) — the
+        # unpinned local[N] wins in profile_stream.py came from python
+        # workers riding cores outside the task-slot cap, which a real
+        # per-executor cgroup does not grant. Kept as the measured
+        # counterfactual; the forward path is mapInArrow (zero-copy).
+        monthly = stream_rollup(silver, "monthly")
+    else:
         # one-shuffle hash cascade: single narrow-row exchange by conv_id,
         # all three tier aggregations pipelined in one stage
         monthly = rollup_tiers(silver)["monthly"]
-    else:
-        # sequential sorted-run path (rollup_stream): rides the O1 sort
-        # of the silver files — zero wide shuffle, bit-identical states
-        # (tests/test_rollup_stream.py); the hash cascade's near-row-
-        # cardinality hourly HashAggregate is random-access-bound and
-        # flat 8->32 on this box (BENCH/bw_probe.json rand leg)
-        monthly = stream_rollup(silver, "monthly")
     finalize(monthly).write.mode("overwrite").parquet(f"{out_dir}/monthly")
     phases["rollup_cascade_write"] = round(time.time() - t0, 3)
     if phase_hook:
