@@ -55,23 +55,22 @@ def pipeline(spark, bronze, out_dir, n_cells, phase_hook=None):
 
     t0 = time.time()
     silver = spark.read.parquet(silver_path)
-    if os.environ.get("BENCH_CASCADE", "hash") == "stream":
-        # sequential sorted-run path (rollup_stream): rides the O1 sort
-        # of the silver files — zero wide shuffle, bit-identical states
-        # (tests/test_rollup_stream.py). NOT the default here: under
-        # taskset-pinned cores the Arrow->pandas PyObject churn is
-        # itself random-access memory traffic and costs MORE total CPU
-        # than the one-shuffle hash cascade (pinned A/B in
-        # scaling_8to32_streamcascade.json: 10-15s vs 9.7/4.8s) — the
-        # unpinned local[N] wins in profile_stream.py came from python
-        # workers riding cores outside the task-slot cap, which a real
-        # per-executor cgroup does not grant. Kept as the measured
-        # counterfactual; the forward path is mapInArrow (zero-copy).
-        monthly = stream_rollup(silver, "monthly")
-    else:
+    if os.environ.get("BENCH_CASCADE", "stream") == "hash":
         # one-shuffle hash cascade: single narrow-row exchange by conv_id,
-        # all three tier aggregations pipelined in one stage
+        # all three tier aggregations pipelined in one stage — the
+        # measured counterfactual (BENCH_CASCADE=hash)
         monthly = rollup_tiers(silver)["monthly"]
+    else:
+        # sequential sorted-run path (rollup_stream): rides the O1 sort
+        # of the PARQUET silver files (vectorized scan -> Arrow batches
+        # near-zero-copy) — zero wide shuffle, bit-identical states
+        # (tests/test_rollup_stream.py). Verified in this exact submit
+        # env (taskset, per-core memory, tmpfs, --py-files): 0.78-1.0s
+        # vs the hash cascade's 4.1-8.5s at 22.5M turns / 32 cores,
+        # same-minute interleaved (BENCH/stream_ab32_pinned.out). The
+        # one contended-window series where it read 10-15s is kept as
+        # scaling_8to32_streamcascade.json.
+        monthly = stream_rollup(silver, "monthly")
     finalize(monthly).write.mode("overwrite").parquet(f"{out_dir}/monthly")
     phases["rollup_cascade_write"] = round(time.time() - t0, 3)
     if phase_hook:
