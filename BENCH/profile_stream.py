@@ -51,6 +51,13 @@ def main():
     silver = spark.read.parquet(silver_path)
 
     def run(variant):
+        # clear the cache BEFORE timing: stream_rollup persists its
+        # tagged states and Spark's CacheManager matches the identical
+        # plan across reps (same silver source), so without this every
+        # stream rep after the first silently reads the cached states
+        # instead of re-running the sequential pass — a 10x flattering
+        # artifact (the original round-5 A/B numbers suffered it)
+        spark.catalog.clearCache()
         t0 = time.time()
         if variant == "hash":
             monthly = rollup_tiers(silver)["monthly"]

@@ -55,22 +55,23 @@ def pipeline(spark, bronze, out_dir, n_cells, phase_hook=None):
 
     t0 = time.time()
     silver = spark.read.parquet(silver_path)
-    if os.environ.get("BENCH_CASCADE", "stream") == "hash":
-        # one-shuffle hash cascade: single narrow-row exchange by conv_id,
-        # all three tier aggregations pipelined in one stage — the
-        # measured counterfactual (BENCH_CASCADE=hash)
-        monthly = rollup_tiers(silver)["monthly"]
-    else:
+    if os.environ.get("BENCH_CASCADE", "hash") == "stream":
         # sequential sorted-run path (rollup_stream): rides the O1 sort
-        # of the PARQUET silver files (vectorized scan -> Arrow batches
-        # near-zero-copy) — zero wide shuffle, bit-identical states
-        # (tests/test_rollup_stream.py). Verified in this exact submit
-        # env (taskset, per-core memory, tmpfs, --py-files): 0.78-1.0s
-        # vs the hash cascade's 4.1-8.5s at 22.5M turns / 32 cores,
-        # same-minute interleaved (BENCH/stream_ab32_pinned.out). The
-        # one contended-window series where it read 10-15s is kept as
-        # scaling_8to32_streamcascade.json.
+        # of the silver files — zero wide shuffle, bit-identical states
+        # (tests/test_rollup_stream.py). NOT the default: with the
+        # plan-cache reuse controlled (see profile_stream.py clearCache
+        # note — the first A/B was 10x flattered by reading its own
+        # persisted states across reps), the cold pass costs ~8-12s at
+        # 22.5M turns vs the one-shuffle hash cascade's ~5-10s: the
+        # Arrow->python serialization of every fact row outweighs the
+        # single narrow shuffle it saves. Kept as the measured
+        # counterfactual; a JVM-side sorted-run operator (no python
+        # boundary) is the form that would actually win.
         monthly = stream_rollup(silver, "monthly")
+    else:
+        # one-shuffle hash cascade: single narrow-row exchange by conv_id,
+        # all three tier aggregations pipelined in one stage
+        monthly = rollup_tiers(silver)["monthly"]
     finalize(monthly).write.mode("overwrite").parquet(f"{out_dir}/monthly")
     phases["rollup_cascade_write"] = round(time.time() - t0, 3)
     if phase_hook:
